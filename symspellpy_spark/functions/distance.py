@@ -1,0 +1,229 @@
+"""Vectorized edit-distance kernels.
+
+Semantics match the reference kernels (editdistance.py:103-430 and the
+null rules of helpers.py:171-192) but the implementation is
+batch-vectorized numpy: the DP iterates over character positions while
+every arithmetic op runs across the whole Arrow batch at once. That is
+this engine's "fast path" — the analogue of the reference's optional
+C++ ``editdistpy`` backend (editdistance.py:433-498) — and it is what
+makes pair verification viable inside pandas UDFs at cluster scale.
+
+Result convention (reference editdistance.py:88-100): the distance, or
+-1 if it exceeds ``max_distance``. ``max_distance <= 0`` degenerates to
+an equality probe. Null rules: both null -> 0; one null -> length of
+the other if <= max_distance else -1.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
+from pyspark.sql import Column
+
+from symspellpy_spark.config import DistanceAlgorithm
+
+__all__ = [
+    "levenshtein_batch",
+    "damerau_osa_batch",
+    "distance_udf",
+    "to_similarity",
+]
+
+# Above this string length the padded batch DP becomes memory-hungry;
+# longer pairs fall back to a per-row banded DP.
+_BATCH_LEN_CAP = 256
+
+
+def _encode(strings: np.ndarray, max_len: int) -> tuple[np.ndarray, np.ndarray]:
+    """Encode an object array of str into (codes[B, max_len] int32, lengths[B])."""
+    n = len(strings)
+    codes = np.zeros((n, max_len), dtype=np.int32)
+    lengths = np.zeros(n, dtype=np.int64)
+    for i, s in enumerate(strings):
+        ls = len(s)
+        lengths[i] = ls
+        if ls:
+            codes[i, :ls] = np.frombuffer(s.encode("utf-32-le"), dtype=np.int32)
+    return codes, lengths
+
+
+def _dp_batch(
+    a_codes: np.ndarray,
+    a_len: np.ndarray,
+    b_codes: np.ndarray,
+    b_len: np.ndarray,
+    transpositions: bool,
+) -> np.ndarray:
+    """Full-edit-distance DP across a batch; returns int64 distances.
+
+    Rows iterate over positions of ``a``; every column update is a
+    vector op across the batch. The per-row answer is captured on the
+    iteration where ``i == len(a)`` (row 0 for empty a).
+    """
+    n, la = a_codes.shape
+    lb = b_codes.shape[1]
+    out = np.empty(n, dtype=np.int64)
+
+    prev = np.broadcast_to(np.arange(lb + 1, dtype=np.int64), (n, lb + 1)).copy()
+    done = a_len == 0
+    if done.any():
+        out[done] = b_len[done]
+
+    prev2 = np.empty_like(prev)
+    cur = np.empty_like(prev)
+    idx = np.arange(n)
+    for i in range(1, la + 1):
+        cur[:, 0] = i
+        ai = a_codes[:, i - 1][:, None]  # (n, 1)
+        cost = (ai != b_codes).astype(np.int64)  # (n, lb)
+        for j in range(1, lb + 1):
+            c = np.minimum(prev[:, j] + 1, prev[:, j - 1] + cost[:, j - 1])
+            np.minimum(c, cur[:, j - 1] + 1, out=c)
+            if transpositions and i > 1 and j > 1:
+                trans = (a_codes[:, i - 1] == b_codes[:, j - 2]) & (
+                    a_codes[:, i - 2] == b_codes[:, j - 1]
+                )
+                np.minimum(
+                    c, np.where(trans, prev2[:, j - 2] + 1, c), out=c
+                )
+            cur[:, j] = c
+        hit = a_len == i
+        if hit.any():
+            out[idx[hit]] = cur[hit, b_len[hit]]
+        prev2, prev, cur = prev, cur, prev2
+    return out
+
+
+def _dp_single(a: str, b: str, transpositions: bool) -> int:
+    """Per-row fallback for very long strings (rare path)."""
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    prev = list(range(lb + 1))
+    prev2 = [0] * (lb + 1)
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            d = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (
+                transpositions
+                and i > 1
+                and j > 1
+                and a[i - 1] == b[j - 2]
+                and a[i - 2] == b[j - 1]
+            ):
+                d = min(d, prev2[j - 2] + 1)
+            cur[j] = d
+        prev2, prev = prev, cur
+    return prev[lb]
+
+
+def _distance_batch(
+    s1: pd.Series, s2: pd.Series, max_distance: int, transpositions: bool
+) -> pd.Series:
+    n = len(s1)
+    result = np.full(n, -1, dtype=np.int64)
+    a = s1.to_numpy(dtype=object)
+    b = s2.to_numpy(dtype=object)
+
+    null_a = pd.isna(a)
+    null_b = pd.isna(b)
+    both = null_a & null_b
+    result[both] = 0
+    only_a = null_a & ~null_b
+    only_b = null_b & ~null_a
+    for mask, other in ((only_a, b), (only_b, a)):
+        if mask.any():
+            lens = np.fromiter((len(x) for x in other[mask]), dtype=np.int64)
+            result[mask] = np.where(lens <= max_distance, lens, -1)
+
+    live = ~(null_a | null_b)
+    if not live.any():
+        return pd.Series(result, index=s1.index)
+
+    if max_distance <= 0:
+        eq = np.zeros(n, dtype=bool)
+        eq[live] = a[live] == b[live]
+        result[live & eq] = 0
+        result[live & ~eq] = -1
+        return pd.Series(result, index=s1.index)
+
+    la = np.zeros(n, dtype=np.int64)
+    lb = np.zeros(n, dtype=np.int64)
+    la[live] = [len(x) for x in a[live]]
+    lb[live] = [len(x) for x in b[live]]
+    # cheap exact prunes before any DP
+    prune = live & (np.abs(la - lb) > max_distance)
+    result[prune] = -1
+    eq_mask = np.zeros(n, dtype=bool)
+    eq_mask[live] = a[live] == b[live]
+    result[live & eq_mask] = 0
+    todo = live & ~prune & ~eq_mask
+
+    idx = np.flatnonzero(todo)
+    if idx.size:
+        long_rows = idx[np.maximum(la[idx], lb[idx]) > _BATCH_LEN_CAP]
+        for r in long_rows:
+            d = _dp_single(a[r], b[r], transpositions)
+            result[r] = d if d <= max_distance else -1
+        short = idx[np.maximum(la[idx], lb[idx]) <= _BATCH_LEN_CAP]
+        if short.size:
+            max_a = int(la[short].max())
+            max_b = int(lb[short].max())
+            a_codes, a_lens = _encode(a[short], max(max_a, 1))
+            b_codes, b_lens = _encode(b[short], max(max_b, 1))
+            d = _dp_batch(a_codes, a_lens, b_codes, b_lens, transpositions)
+            result[short] = np.where(d <= max_distance, d, -1)
+    return pd.Series(result, index=s1.index)
+
+
+def levenshtein_batch(s1: pd.Series, s2: pd.Series, max_distance: int) -> pd.Series:
+    """Batch Levenshtein with max-distance clamp (reference editdistance.py:103-160)."""
+    return _distance_batch(s1, s2, max_distance, transpositions=False)
+
+
+def damerau_osa_batch(s1: pd.Series, s2: pd.Series, max_distance: int) -> pd.Series:
+    """Batch Damerau-OSA (restricted transpositions; reference editdistance.py:242-430)."""
+    return _distance_batch(s1, s2, max_distance, transpositions=True)
+
+
+_KERNELS: dict[DistanceAlgorithm, Callable[[pd.Series, pd.Series, int], pd.Series]] = {
+    DistanceAlgorithm.LEVENSHTEIN: levenshtein_batch,
+    DistanceAlgorithm.DAMERAU_OSA: damerau_osa_batch,
+}
+
+
+def distance_udf(
+    algorithm: DistanceAlgorithm | str = DistanceAlgorithm.DAMERAU_OSA,
+    max_distance: int = 2,
+    comparer: Callable[[pd.Series, pd.Series, int], pd.Series] | None = None,
+):
+    """Pandas UDF ``(string, string) -> int`` for the chosen kernel.
+
+    ``comparer`` is the USER_PROVIDED plug point (reference
+    abstract_distance_comparer.py:4-23): any callable over Series pairs.
+    """
+    if comparer is not None:
+        kernel = comparer
+    else:
+        kernel = _KERNELS[DistanceAlgorithm(algorithm)]
+
+    @F.pandas_udf(IntegerType())
+    def _dist(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        return kernel(s1, s2, max_distance).astype("int32")
+
+    return _dist
+
+
+def to_similarity(distance: Column, length: Column) -> Column:
+    """1 - distance/length; -1 for negative distance (reference helpers.py:253-265)."""
+    return F.when(distance < 0, F.lit(-1.0)).otherwise(
+        1.0 - distance.cast("double") / length.cast("double")
+    )
