@@ -27,18 +27,32 @@ __all__ = [
 
 #: reference symspellpy.py:42 — ``(([^\W_]|['’])+)`` with Python (Unicode)
 #: word semantics; ``(?U)`` gives Java regex the same character classes.
+#: Used by create_dictionary / _parse_words.
 WORD_PATTERN = r"(?U)([^\W_]|['’])+"
+
+#: reference helpers.py:214-218 — the slightly different tokenizer used by
+#: lookup_compound / word_segmentation (token must start with a word char).
+PARSE_WORDS_PATTERN = r"(?U)[^\W_]+['’]*[^\W_]*"
 
 
 def parse_words_expr(
     text: Column, preserve_case: bool = False, split_by_space: bool = False
 ) -> Column:
     """array<string> of word tokens (reference helpers.py:195-218)."""
-    if split_by_space:
-        src = text if preserve_case else F.lower(text)
-        return F.split(src, " ")
     src = text if preserve_case else F.lower(text)
-    return F.regexp_extract_all(src, F.lit(WORD_PATTERN), 0)
+    if split_by_space:
+        # Python str.split(): runs of whitespace, leading/trailing stripped,
+        # empty string -> []
+        return F.filter(
+            F.split(F.trim(src), r"\s+"), lambda t: F.length(t) > 0
+        )
+    return F.regexp_extract_all(src, F.lit(PARSE_WORDS_PATTERN), 0)
+
+
+def corpus_words_expr(text: Column) -> Column:
+    """Tokenizer used when building a dictionary from raw corpus text
+    (reference _parse_words, symspellpy.py:1143-1157)."""
+    return F.regexp_extract_all(F.lower(text), F.lit(WORD_PATTERN), 0)
 
 
 def is_acronym_expr(word: Column, contain_digits: bool = False) -> Column:

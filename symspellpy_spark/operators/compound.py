@@ -1,0 +1,390 @@
+"""Batch compound-aware correction.
+
+Reference: ``SymSpell.lookup_compound`` (symspellpy.py:639-865). The
+reference walks each phrase token-by-token, with three inner lookup
+families per token: the token itself, the merge of the previous+current
+token (split-error repair, symspellpy.py:702-735), and every split
+point of the token (merge-error repair, symspellpy.py:749-832) with
+bigram / Naive-Bayes rescoring.
+
+Spark shape: ALL inner lookups are hoisted into one set-at-a-time
+batch ``lookup_batch`` over the distinct strings of the whole corpus
+(tokens + merged pairs + split halves), pre-joined back to token rows;
+the only sequential piece — the left-to-right fold whose merge decision
+depends on the previous token's decision (``is_last_combi`` /
+``suggestion_parts[-1]``) — runs per-document inside ``applyInPandas``.
+At 100 TB this means: the expensive fuzzy matching is one shared
+broadcast-join pipeline over *distinct* strings; the Python fold only
+touches each document's own pre-joined rows.
+
+Output: exactly one row per document (the reference always returns a
+single SuggestItem) plus the ``_replaced_words`` audit as a map column
+(the reference hides it in mutable state, symspellpy.py:733,837-851 —
+in Spark it must be a returned result).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from symspellpy_spark.config import MAX_INT64, DistanceAlgorithm, Verbosity
+from symspellpy_spark.functions.distance import (
+    damerau_osa_batch,
+    distance_udf,
+    levenshtein_batch,
+)
+from symspellpy_spark.functions.text import (
+    case_transfer_similar_py,
+    parse_words_expr,
+)
+from symspellpy_spark.operators.dictionary import SparkDictionary
+from symspellpy_spark.operators.lookup import lookup_batch
+
+__all__ = ["lookup_compound_batch"]
+
+_ACRONYM_RE = re.compile(r"\b[A-Z0-9]{2,}\b")
+_DIGIT_RE = re.compile(r"\d")
+
+
+def _try_parse_int64(s: str):
+    # reference helpers.py:268-284
+    try:
+        v = int(s)
+    except ValueError:
+        return None
+    return v if -(2**63) <= v <= 2**63 - 1 else None
+
+
+def _is_acronym(word: str, contain_digits: bool) -> bool:
+    # reference helpers.py:153-168
+    if _ACRONYM_RE.search(word) is not None:
+        return True
+    return bool(contain_digits and _DIGIT_RE.search(word))
+
+
+def lookup_compound_batch(
+    docs: DataFrame,
+    dictionary: SparkDictionary,
+    max_edit_distance: int | None = None,
+    ignore_non_words: bool = False,
+    transfer_casing: bool = False,
+    split_by_space: bool = False,
+    ignore_term_with_digits: bool = False,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> one row per document: (doc_id, term, distance, count, replacements)."""
+    cfg = dictionary.config
+    if max_edit_distance is None:
+        max_edit_distance = cfg.max_dictionary_edit_distance
+    n_const = float(cfg.corpus_n)
+    bigram_min = dictionary.bigram_count_min
+    algo = cfg.distance_algorithm
+
+    docs = docs.select(
+        F.col(doc_col).alias("doc_id"), F.col(text_col).alias("phrase")
+    )
+
+    toks = docs.select(
+        "doc_id",
+        "phrase",
+        F.posexplode_outer(
+            F.arrays_zip(
+                parse_words_expr(F.col("phrase"), split_by_space=split_by_space).alias(
+                    "t1"
+                ),
+                parse_words_expr(
+                    F.col("phrase"), preserve_case=True, split_by_space=split_by_space
+                ).alias("t2"),
+            )
+        ).alias("pos", "tok"),
+    ).select(
+        "doc_id",
+        "phrase",
+        "pos",
+        F.col("tok.t1").alias("term1"),
+        F.col("tok.t2").alias("term2"),
+    )
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    toks = toks.withColumn("prev1", F.lag("term1").over(w)).withColumn(
+        "combo", F.concat(F.col("prev1"), F.col("term1"))
+    )
+
+    # ---- one shared TOP lookup over every distinct string we need ----
+    term_strs = toks.select(F.col("term1").alias("query"))
+    combo_strs = toks.where(F.col("combo").isNotNull()).select(
+        F.col("combo").alias("query")
+    )
+    # split halves only for tokens that can enter the split branch
+    split_src = toks.where(
+        F.col("term1").isNotNull() & (F.length("term1") > 1)
+    ).select("doc_id", "pos", "term1")
+    split_rows = split_src.select(
+        "doc_id",
+        "pos",
+        "term1",
+        F.explode(F.sequence(F.lit(1), F.length("term1") - 1)).alias("j"),
+    ).select(
+        "doc_id",
+        "pos",
+        "term1",
+        "j",
+        F.expr("substring(term1, 1, j)").alias("part1"),
+        F.expr("substring(term1, j + 1, 2147483647)").alias("part2"),
+    )
+    part_strs = split_rows.select(F.col("part1").alias("query")).unionByName(
+        split_rows.select(F.col("part2").alias("query"))
+    )
+    all_strs = term_strs.unionByName(combo_strs).unionByName(part_strs).where(
+        F.col("query").isNotNull()
+    )
+
+    lut = lookup_batch(
+        all_strs,
+        dictionary,
+        Verbosity.TOP,
+        max_edit_distance=max_edit_distance,
+    ).select(
+        F.col("query"),
+        F.col("term").alias("s_term"),
+        F.col("distance").alias("s_dist"),
+        F.col("count").alias("s_count"),
+    )
+
+    # ---- pre-join lookups back onto token / split rows ----
+    toks = (
+        toks.join(
+            lut.select(
+                F.col("query").alias("term1"),
+                F.col("s_term").alias("sugg_term"),
+                F.col("s_dist").alias("sugg_dist"),
+                F.col("s_count").alias("sugg_count"),
+            ),
+            "term1",
+            "left",
+        )
+        .join(
+            lut.select(
+                F.col("query").alias("combo"),
+                F.col("s_term").alias("combi_term"),
+                F.col("s_dist").alias("combi_dist"),
+                F.col("s_count").alias("combi_count"),
+            ),
+            "combo",
+            "left",
+        )
+    )
+
+    splits = (
+        split_rows.join(
+            lut.select(
+                F.col("query").alias("part1"),
+                F.col("s_term").alias("p1_term"),
+                F.col("s_dist").alias("p1_dist"),
+                F.col("s_count").alias("p1_count"),
+            ),
+            "part1",
+            "inner",
+        )
+        .join(
+            lut.select(
+                F.col("query").alias("part2"),
+                F.col("s_term").alias("p2_term"),
+                F.col("s_dist").alias("p2_dist"),
+                F.col("s_count").alias("p2_count"),
+            ),
+            "part2",
+            "inner",
+        )
+        .withColumn("tmp_term", F.concat_ws(" ", F.col("p1_term"), F.col("p2_term")))
+    )
+
+    dist = distance_udf(algo, max_edit_distance)
+    splits = splits.withColumn("tmp_dist", dist(F.col("term1"), F.col("tmp_term")))
+    if dictionary.bigrams is not None:
+        splits = splits.join(
+            F.broadcast(
+                dictionary.bigrams.select(
+                    F.col("bigram").alias("tmp_term"),
+                    F.col("count").alias("bigram_count"),
+                )
+            ),
+            "tmp_term",
+            "left",
+        )
+    else:
+        splits = splits.withColumn("bigram_count", F.lit(None).cast("long"))
+
+    split_arr = splits.groupBy("doc_id", "pos").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "j",
+                    "p1_term",
+                    "p1_count",
+                    "p2_term",
+                    "p2_count",
+                    "tmp_term",
+                    "tmp_dist",
+                    "bigram_count",
+                )
+            )
+        ).alias("splits")
+    )
+
+    full = toks.join(split_arr, ["doc_id", "pos"], "left")
+
+    # ---- per-document sequential fold ----
+    max_ed = max_edit_distance
+    pair_kernel = (
+        levenshtein_batch
+        if algo == DistanceAlgorithm.LEVENSHTEIN
+        else damerau_osa_batch
+    )
+
+    def _pair_distance(a: str, b: str, bound: int) -> int:
+        return int(pair_kernel(pd.Series([a]), pd.Series([b]), bound).iloc[0])
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("pos")
+        doc_id = pdf["doc_id"].iloc[0]
+        phrase = pdf["phrase"].iloc[0]
+        parts: list[tuple[str, int, float]] = []
+        replaced: dict[str, str] = {}
+        is_last_combi = False
+
+        rows = pdf.to_dict("records")
+        if len(rows) == 1 and rows[0].get("term1") is None:
+            rows = []
+        for i, row in enumerate(rows):
+            term1 = row["term1"]
+            term2 = row["term2"]
+            if ignore_non_words:
+                if _try_parse_int64(term1) is not None:
+                    parts.append((term1, 0, n_const))
+                    continue
+                if _is_acronym(term2 or "", ignore_term_with_digits):
+                    parts.append((term2, 0, n_const))
+                    continue
+            sugg = (
+                (row["sugg_term"], int(row["sugg_dist"]), float(row["sugg_count"]))
+                if not pd.isna(row["sugg_term"]) and not pd.isna(row["sugg_dist"])
+                else None
+            )
+            # merge check (symspellpy.py:702-735)
+            if i > 0 and not is_last_combi and not pd.isna(row["combi_term"]) and not pd.isna(row["combi_dist"]):
+                best_1 = parts[-1]
+                if sugg is not None:
+                    best_2 = sugg
+                else:
+                    best_2 = (term1, max_ed + 1, float(10 // 10 ** len(term1)))
+                distance_1 = best_1[1] + best_2[1]
+                combi = (
+                    row["combi_term"],
+                    int(row["combi_dist"]),
+                    float(row["combi_count"]),
+                )
+                if distance_1 >= 0 and (
+                    combi[1] + 1 < distance_1
+                    or (
+                        combi[1] + 1 == distance_1
+                        and combi[2] > best_1[2] / n_const * best_2[2]
+                    )
+                ):
+                    merged = (combi[0], combi[1] + 1, combi[2])
+                    parts[-1] = merged
+                    replaced[rows[i - 1]["term1"]] = merged[0]
+                    is_last_combi = True
+                    continue
+            is_last_combi = False
+
+            if sugg is not None and (sugg[1] == 0 or len(term1) == 1):
+                parts.append(sugg)
+                continue
+
+            # split check (symspellpy.py:749-832)
+            split_best = sugg  # may be None
+            s_list = row.get("splits")
+            if s_list is None or not hasattr(s_list, "__len__"):
+                s_list = []
+            if len(term1) > 1:
+                for s in s_list:
+                    s = dict(s) if not isinstance(s, dict) else s
+                    tmp_term = s["tmp_term"]
+                    tmp_distance = int(s["tmp_dist"])
+                    if tmp_distance < 0:
+                        tmp_distance = max_ed + 1
+                    if split_best is not None:
+                        if tmp_distance > split_best[1]:
+                            continue
+                        if tmp_distance < split_best[1]:
+                            split_best = None
+                    if s["bigram_count"] is not None and not pd.isna(
+                        s["bigram_count"]
+                    ):
+                        tmp_count = float(s["bigram_count"])
+                        if sugg is not None:
+                            if s["p1_term"] + s["p2_term"] == term1:
+                                tmp_count = max(tmp_count, sugg[2] + 2)
+                            elif sugg[0] in (s["p1_term"], s["p2_term"]):
+                                tmp_count = max(tmp_count, sugg[2] + 1)
+                        elif s["p1_term"] + s["p2_term"] == term1:
+                            tmp_count = max(
+                                tmp_count,
+                                max(float(s["p1_count"]), float(s["p2_count"])) + 2,
+                            )
+                    else:
+                        tmp_count = float(
+                            min(
+                                bigram_min,
+                                int(
+                                    float(s["p1_count"])
+                                    / n_const
+                                    * float(s["p2_count"])
+                                ),
+                            )
+                        )
+                    cand = (tmp_term, tmp_distance, tmp_count)
+                    if split_best is None or cand[2] > split_best[2]:
+                        split_best = cand
+                if split_best is not None:
+                    parts.append(split_best)
+                    replaced[term1] = split_best[0]
+                else:
+                    item = (term1, max_ed + 1, float(10 // 10 ** len(term1)))
+                    parts.append(item)
+                    replaced[term1] = item[0]
+            else:
+                item = (term1, max_ed + 1, float(10 // 10 ** len(term1)))
+                parts.append(item)
+                replaced[term1] = item[0]
+
+        joined_term = " ".join(p[0] for p in parts)
+        joined_count = n_const
+        for p in parts:
+            joined_count *= p[2] / n_const
+        if transfer_casing:
+            joined_term = case_transfer_similar_py(phrase, joined_term)
+        distance = _pair_distance(phrase, joined_term, 2**31 - 1)
+        count = min(int(joined_count), MAX_INT64)
+        return pd.DataFrame(
+            {
+                "doc_id": [doc_id],
+                "term": [joined_term],
+                "distance": [distance],
+                "count": [count],
+                "replacements": [replaced],
+            }
+        )
+
+    doc_id_type = dict(docs.dtypes)["doc_id"]
+    out_schema = (
+        f"doc_id {doc_id_type}, term string, distance int, count long, "
+        "replacements map<string,string>"
+    )
+    return full.groupBy("doc_id").applyInPandas(fold, schema=out_schema)

@@ -26,7 +26,7 @@ from dataclasses import dataclass, replace
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from symspellpy_spark.config import DATA_VERSION, EngineConfig
-from symspellpy_spark.functions.text import parse_words_expr, saturating_sum
+from symspellpy_spark.functions.text import corpus_words_expr, saturating_sum
 from symspellpy_spark.operators.deletes import delete_neighborhood
 from symspellpy_spark.sources.freq_dict import (
     read_bigram_dictionary,
@@ -123,7 +123,7 @@ class SparkDictionary:
         tokenize raw text, count occurrences, build the index."""
         tokens = (
             spark.read.text(corpus_path)
-            .select(F.explode(parse_words_expr(F.col("value"))).alias("term"))
+            .select(F.explode(corpus_words_expr(F.col("value"))).alias("term"))
             .where(F.length("term") > 0)
             .select("term", F.lit(1).cast("long").alias("count"))
         )
