@@ -1,0 +1,254 @@
+"""Batch word segmentation.
+
+Reference: ``SymSpell.word_segmentation`` (symspellpy.py:867-1015) — a
+triangular DP over all (start, length<=max_word_len) substrings with a
+circular Composition buffer, where each cell consults a TOP lookup.
+
+Spark shape: the O(n * max_word_len) substring enumeration, space
+accounting, and probability scoring are pure Catalyst expressions; the
+inner lookups are hoisted into ONE batch ``lookup_batch`` over distinct
+part strings; only the (inherently sequential, per-document) DP relax
+loop runs in ``applyInPandas``. This mirrors the reference's exact cell
+ordering and tie-breaking (symspellpy.py:976-1013).
+"""
+
+from __future__ import annotations
+
+import math
+import string as _string
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import StringType
+
+from symspellpy_spark.config import Verbosity
+from symspellpy_spark.operators.dictionary import SparkDictionary
+from symspellpy_spark.operators.lookup import lookup_batch
+
+__all__ = ["word_segmentation_batch", "nfkc_strip_hyphens_udf"]
+
+
+def nfkc_strip_hyphens_udf():
+    """NFKC normalize + remove U+002D (reference symspellpy.py:906)."""
+
+    @F.pandas_udf(StringType())
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: None
+            if x is None
+            else unicodedata.normalize("NFKC", x).replace("-", "")
+        )
+
+    return _norm
+
+
+def word_segmentation_batch(
+    docs: DataFrame,
+    dictionary: SparkDictionary,
+    max_edit_distance: int | None = None,
+    max_segmentation_word_length: int | None = None,
+    ignore_pattern: str | None = None,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (doc_id, segmented_string, corrected_string, distance_sum,
+    log_prob_sum) — one row per document (the reference's Composition)."""
+    cfg = dictionary.config
+    if max_edit_distance is None:
+        max_edit_distance = cfg.max_dictionary_edit_distance
+    if max_segmentation_word_length is None:
+        max_segmentation_word_length = dictionary.max_length
+    n_const = float(cfg.corpus_n)
+    max_word_len = max_segmentation_word_length
+
+    norm = nfkc_strip_hyphens_udf()
+    docs = docs.select(
+        F.col(doc_col).alias("doc_id"), norm(F.col(text_col)).alias("phrase")
+    )
+
+    # all (j, i) parts, with the reference's space accounting
+    # (symspellpy.py:925-942) done relationally
+    parts = (
+        docs.where(F.length("phrase") > 0)
+        .select(
+            "doc_id",
+            "phrase",
+            F.explode(F.sequence(F.lit(0), F.length("phrase") - 1)).alias("j"),
+        )
+        .select(
+            "doc_id",
+            "phrase",
+            "j",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(
+                        F.length("phrase") - F.col("j"), F.lit(max_word_len)
+                    ),
+                )
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "j",
+            "i",
+            F.expr("substring(phrase, j + 1, i)").alias("raw_part"),
+        )
+        .withColumn(
+            "lead_space", F.substring("raw_part", 1, 1).rlike(r"(?U)^\s")
+        )
+        .withColumn(
+            "part1",
+            F.when(
+                F.col("lead_space"), F.expr("substring(raw_part, 2, 2147483647)")
+            ).otherwise(F.col("raw_part")),
+        )
+        .withColumn("separator_len", F.when(F.col("lead_space"), 0).otherwise(1))
+        .withColumn("part", F.replace(F.col("part1"), F.lit(" "), F.lit("")))
+        .withColumn(
+            "spaces_removed", F.length("part1") - F.length("part")
+        )
+        .withColumn("query", F.lower(F.col("part")))
+        .drop("raw_part", "part1", "lead_space")
+    )
+
+    lut = lookup_batch(
+        parts.select("query"),
+        dictionary,
+        Verbosity.TOP,
+        max_edit_distance=max_edit_distance,
+        ignore_pattern=ignore_pattern,
+    ).select(
+        "query",
+        F.col("term").alias("s_term"),
+        F.col("distance").alias("s_dist"),
+        F.col("count").alias("s_count"),
+    )
+
+    found = F.col("s_term").isNotNull()
+    first_upper = F.substring("part", 1, 1) != F.lower(F.substring("part", 1, 1))
+    scored = (
+        parts.join(lut, "query", "left")
+        .withColumn(
+            "top_result",
+            F.when(
+                found,
+                # capitalization retention (symspellpy.py:954-955):
+                # Python str.capitalize() = upper first char, lower rest
+                F.when(
+                    (F.length("part") > 0) & first_upper,
+                    F.concat(
+                        F.upper(F.substring("s_term", 1, 1)),
+                        F.lower(F.expr("substring(s_term, 2, 2147483647)")),
+                    ),
+                ).otherwise(F.col("s_term")),
+            ).otherwise(F.col("part")),
+        )
+        .withColumn(
+            "top_ed",
+            F.col("spaces_removed")
+            + F.when(found, F.col("s_dist")).otherwise(F.length("part")),
+        )
+        .withColumn(
+            "top_log_prob",
+            F.when(
+                found, F.log10(F.col("s_count").cast("double") / F.lit(n_const))
+            ).otherwise(
+                F.lit(1.0)
+                - F.log10(F.lit(n_const))
+                - F.length("part").cast("double")
+            ),
+        )
+        .select(
+            "doc_id",
+            "j",
+            "i",
+            "part",
+            "separator_len",
+            "top_result",
+            "top_ed",
+            "top_log_prob",
+        )
+    )
+
+    punct = set(_string.punctuation)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["j", "i"])
+        doc_id = pdf["doc_id"].iloc[0]
+        n_j = int(pdf["j"].max()) + 1
+        array_size = min(max_word_len, n_j)
+        # Composition tuples: (segmented, corrected, distance_sum, log_prob_sum)
+        comps = [("", "", 0, 0.0)] * array_size
+        idx = -1
+        cells = {(int(r.j), int(r.i)): r for r in pdf.itertuples()}
+        for j in range(n_j):
+            imax = min(n_j - j, max_word_len)
+            for i in range(1, imax + 1):
+                r = cells[(j, i)]
+                part = r.part
+                top_result = r.top_result
+                top_ed = int(r.top_ed)
+                top_log_prob = float(r.top_log_prob)
+                separator_len = int(r.separator_len)
+                dest = (i + idx) % array_size
+                if j == 0:
+                    comps[dest] = (part, top_result, top_ed, top_log_prob)
+                elif (
+                    i == max_word_len
+                    or (
+                        comps[dest][2]
+                        in (
+                            comps[idx][2] + top_ed,
+                            comps[idx][2] + separator_len + top_ed,
+                        )
+                        and comps[dest][3] < comps[idx][3] + top_log_prob
+                    )
+                    or comps[idx][2] + separator_len + top_ed < comps[dest][2]
+                ):
+                    if (len(top_result) == 1 and top_result[0] in punct) or (
+                        len(top_result) == 2 and top_result.startswith("'")
+                    ):
+                        comps[dest] = (
+                            comps[idx][0] + part,
+                            comps[idx][1] + top_result,
+                            comps[idx][2] + top_ed,
+                            comps[idx][3] + top_log_prob,
+                        )
+                    else:
+                        comps[dest] = (
+                            comps[idx][0] + " " + part,
+                            comps[idx][1] + " " + top_result,
+                            comps[idx][2] + separator_len + top_ed,
+                            comps[idx][3] + top_log_prob,
+                        )
+            idx = (idx + 1) % array_size
+        seg, corr, dist, logp = comps[idx]
+        return pd.DataFrame(
+            {
+                "doc_id": [doc_id],
+                "segmented_string": [seg],
+                "corrected_string": [corr],
+                "distance_sum": [dist],
+                "log_prob_sum": [logp],
+            }
+        )
+
+    doc_id_type = dict(docs.dtypes)["doc_id"]
+    out_schema = (
+        f"doc_id {doc_id_type}, segmented_string string, corrected_string string, "
+        "distance_sum int, log_prob_sum double"
+    )
+    result = scored.groupBy("doc_id").applyInPandas(fold, schema=out_schema)
+
+    # empty/whitespace-normalized-away phrases produce no part rows; the
+    # reference raises on these — we return the empty Composition instead
+    empties = docs.where(F.length("phrase") == 0).select(
+        "doc_id",
+        F.lit("").alias("segmented_string"),
+        F.lit("").alias("corrected_string"),
+        F.lit(0).alias("distance_sum"),
+        F.lit(0.0).alias("log_prob_sum"),
+    )
+    return result.unionByName(empties)

@@ -1,0 +1,87 @@
+"""word_segmentation parity (reference tests/test_symspellpy_word_segmentation.py,
+fixture tests/fortests/word_segmentation_data.json)."""
+
+import json
+
+import pytest
+
+from symspellpy_spark.config import EngineConfig
+from symspellpy_spark.operators.dictionary import SparkDictionary
+from symspellpy_spark.operators.segmentation import word_segmentation_batch
+
+DICT_PATH = "/root/reference/symspellpy/frequency_dictionary_en_82_765.txt"
+FORTESTS = "/root/reference/tests/fortests"
+
+
+@pytest.fixture(scope="module")
+def en_dict0(spark):
+    cfg = EngineConfig(max_dictionary_edit_distance=0, prefix_length=7)
+    return SparkDictionary.load_dictionary(spark, DICT_PATH, config=cfg).cache()
+
+
+@pytest.fixture(scope="module")
+def en_dict2(spark):
+    return SparkDictionary.load_dictionary(spark, DICT_PATH).cache()
+
+
+def run_batch(spark, d, texts, **kw):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = word_segmentation_batch(docs, d, **kw).collect()
+    return {r["doc_id"]: r for r in rows}
+
+
+@pytest.mark.slow
+def test_golden_fixture_d0(spark, en_dict0):
+    with open(f"{FORTESTS}/word_segmentation_data.json") as fh:
+        cases = json.load(fh)["data"]
+    texts = [c["typo"] for c in cases]
+    got = run_batch(spark, en_dict0, texts, max_edit_distance=0)
+    for i, c in enumerate(cases):
+        assert got[i]["corrected_string"] == c["0"]["term"], c["typo"]
+
+
+@pytest.mark.slow
+def test_live_parity_d2(spark, en_dict2, reference_symspell_module):
+    from symspellpy import SymSpell
+
+    ref = SymSpell(2, 7)
+    ref.load_dictionary(DICT_PATH, 0, 1)
+    texts = [
+        "thequickbrownfoxjumpsoverthelazydog",
+        "itwasabrightcolddayinaprilandtheclockswerestrikingthirteen",
+        "inthebeginninggodcreatedtheheavenandtheearth",
+        "what ishappening who re youtalking about",
+        "Scientiﬁc rEsearch-findings",  # ligature + hyphen + casing
+    ]
+    got = run_batch(spark, en_dict2, texts)
+    for i, t in enumerate(texts):
+        exp = ref.word_segmentation(t)
+        r = got[i]
+        assert r["segmented_string"] == exp.segmented_string, t
+        assert r["corrected_string"] == exp.corrected_string, t
+        assert r["distance_sum"] == exp.distance_sum, t
+        assert abs(r["log_prob_sum"] - exp.log_prob_sum) < 1e-9, t
+
+
+@pytest.mark.slow
+def test_ignore_token(spark, en_dict2, reference_symspell_module):
+    import re
+
+    from symspellpy import SymSpell
+
+    ref = SymSpell(2, 7)
+    ref.load_dictionary(DICT_PATH, 0, 1)
+    typo = "24th december"
+    exp = ref.word_segmentation(typo, ignore_token=re.compile(r"\d{2}\w*\b"))
+    got = run_batch(spark, en_dict2, [typo], ignore_pattern=r"\d{2}\w*\b")
+    assert got[0]["corrected_string"] == exp.corrected_string == typo
+
+
+def test_empty_doc(spark):
+    words = spark.createDataFrame([("hi", 5)], "term string, count long")
+    d = SparkDictionary.from_words(spark, words)
+    got = run_batch(spark, d, ["", "-"])
+    assert got[0]["corrected_string"] == ""
+    assert got[1]["corrected_string"] == ""
