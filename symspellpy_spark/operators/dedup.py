@@ -1,0 +1,384 @@
+"""Near-duplicate detection operators (the north-star pipeline stages).
+
+All stages are DataFrame -> DataFrame; per-row heavy math is Arrow-
+vectorized (numpy over whole batches), everything else is Catalyst.
+No analogue in the reference (SURVEY.md §2.6) — SymSpell's delete-key
+index plays the candidate-generation *role* these stages play for
+documents; its lookup/verify split (candidates -> distance verify ->
+verbosity rank) is the template for candidates -> similarity verify ->
+threshold here.
+
+Scale notes (100 TB):
+- token/shingle hashing is ``xxhash64`` JVM-side; the Python boundary
+  only ever sees fixed-width ``array<long>`` columns;
+- MinHash is one pandas UDF over the per-doc hash array (no explode, no
+  shuffle); banding explodes to b rows/doc only;
+- within-bucket pairing is capped (``max_bucket_size``) and dropped
+  buckets are observable via ``lsh_bucket_stats`` — the O(b²) blowup
+  control the north rule demands;
+- SimHash Hamming probing explodes 64-bit signatures into
+  ``n_blocks`` block keys; verification is ``bit_count(xor)`` —
+  whole-stage codegen, no UDF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+__all__ = [
+    "normalized_tokens",
+    "shingles",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "lsh_bucket_stats",
+    "simhash_signatures",
+    "simhash_candidate_pairs",
+    "substring_fingerprint_pairs",
+    "exact_duplicates",
+    "jaccard_verify",
+]
+
+_MERSENNE31 = (1 << 31) - 1
+
+
+def normalized_tokens(
+    docs: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """(id, tokens array<string>) — whitespace/word tokenization, lowered.
+
+    The dictionary-correction variant (SymSpell normalization of noisy
+    tokens before shingling) lives in plans/pipeline.py where a
+    dictionary is in scope.
+    """
+    src = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.regexp_extract_all(src, F.lit(r"(?U)[\w'’]+"), 0).alias("tokens"),
+    )
+
+
+def shingles(
+    tokens: DataFrame, k: int = 5, tokens_col: str = "tokens"
+) -> DataFrame:
+    """Add ``shingle_hashes array<long>``: distinct xxhash64 of k-token
+    shingles (JVM-side; docs shorter than k get one whole-doc shingle)."""
+    t = F.col(tokens_col)
+    n = F.size(t)
+    shingle_strs = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.array_join(F.slice(t, i, k), " "),
+        ),
+    ).otherwise(F.array(F.array_join(t, " ")))
+    return tokens.withColumn(
+        "shingle_hashes",
+        F.array_distinct(
+            F.transform(shingle_strs, lambda s: F.xxhash64(s))
+        ),
+    )
+
+
+def _minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE31, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE31, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_perm: int = 128,
+    seed: int = 1337,
+    hashes_col: str = "shingle_hashes",
+) -> DataFrame:
+    """Add ``minhash array<long>`` (num_perm 31-bit values).
+
+    h_k(doc) = min over shingles of (a_k * (x mod M31) + b_k) mod M31 —
+    the universal-hash family over a Mersenne prime; a_k*x + b_k stays
+    < 2^62 so plain uint64 arithmetic is exact. Vectorized as one
+    (num_perm x n_shingles) numpy broadcast per document.
+    """
+    a, b = _minhash_params(num_perm, seed)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _minhash(hashes: pd.Series) -> pd.Series:
+        out = []
+        empty = np.full(num_perm, _MERSENNE31, dtype=np.int64).tolist()
+        for arr in hashes:
+            if arr is None or len(arr) == 0:
+                out.append(empty)
+                continue
+            x = np.asarray(arr, dtype=np.int64).astype(np.uint64) % _MERSENNE31
+            sig = ((a[:, None] * x[None, :] + b[:, None]) % _MERSENNE31).min(axis=1)
+            out.append(sig.astype(np.int64).tolist())
+        return pd.Series(out, index=hashes.index)
+
+    return df.withColumn("minhash", _minhash(F.col(hashes_col)))
+
+
+def _band_keys(num_perm: int, bands: int):
+    rows = num_perm // bands
+    return [
+        F.struct(
+            F.lit(i).alias("band_id"),
+            F.xxhash64(
+                F.array_join(
+                    F.transform(
+                        F.slice(F.col("minhash"), i * rows + 1, rows),
+                        lambda v: v.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("band_hash"),
+        )
+        for i in range(bands)
+    ]
+
+
+def _banded(df: DataFrame, bands: int, num_perm: int) -> DataFrame:
+    return df.select(
+        "id",
+        F.explode(F.array(*_band_keys(num_perm, bands))).alias("band"),
+    ).select("id", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
+
+
+def lsh_bucket_stats(
+    signatures: DataFrame, bands: int = 32, num_perm: int = 128
+) -> DataFrame:
+    """(band_id, band_hash, bucket_size) — observability for skew/caps."""
+    return (
+        _banded(signatures, bands, num_perm)
+        .groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("bucket_size"))
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 32,
+    num_perm: int = 128,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """(id_a, id_b) candidate pairs from MinHash LSH banding.
+
+    Within-bucket pairing is a self-join on (band_id, band_hash); buckets
+    larger than ``max_bucket_size`` are dropped (boilerplate-heavy hot
+    bands — observable via :func:`lsh_bucket_stats`); pairs reached in
+    several bands are deduplicated.
+    """
+    banded = _banded(signatures, bands, num_perm)
+    sized = banded.join(
+        lsh_bucket_stats(signatures, bands, num_perm).where(
+            (F.col("bucket_size") > 1) & (F.col("bucket_size") <= max_bucket_size)
+        ),
+        ["band_id", "band_hash"],
+    ).select("band_id", "band_hash", "id")
+    left = sized.select("band_id", "band_hash", F.col("id").alias("id_a"))
+    right = sized.select("band_id", "band_hash", F.col("id").alias("id_b"))
+    return (
+        left.join(right, ["band_id", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash_signatures(
+    tokens: DataFrame, tokens_col: str = "tokens"
+) -> DataFrame:
+    """Add ``simhash long``: 64-bit sign-sum fingerprint over token hashes.
+
+    Token hashing is JVM-side xxhash64; the UDF unpacks bits and
+    sign-sums with one numpy op per batch.
+    """
+    hashed = tokens.withColumn(
+        "_tok_hashes",
+        F.transform(F.col(tokens_col), lambda t: F.xxhash64(t)),
+    )
+
+    @F.pandas_udf(LongType())
+    def _simhash(hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(hashes), dtype=np.int64)
+        for i, arr in enumerate(hashes):
+            if arr is None or len(arr) == 0:
+                continue
+            x = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            bits = ((x[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+                np.int64
+            )
+            votes = (2 * bits - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for b_idx in np.flatnonzero(votes > 0):
+                sig |= np.uint64(1) << np.uint64(b_idx)
+            out[i] = np.int64(sig.astype(np.int64))
+        return pd.Series(out, index=hashes.index)
+
+    return hashed.withColumn("simhash", _simhash(F.col("_tok_hashes"))).drop(
+        "_tok_hashes"
+    )
+
+
+def simhash_candidate_pairs(
+    signatures: DataFrame,
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with Hamming(simhash) <= max_hamming.
+
+    Pigeonhole probing: split 64 bits into n_blocks (> max_hamming)
+    blocks; any pair within the Hamming ball shares at least one intact
+    block -> equi-join on (block_id, block_value), verify with
+    bit_count(xor) — all whole-stage codegen.
+    """
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    width = 64 // n_blocks
+    blocks = [
+        F.struct(
+            F.lit(i).alias("block_id"),
+            F.shiftrightunsigned(F.col("simhash"), i * width)
+            .bitwiseAND(F.lit((1 << width) - 1) if width < 64 else F.lit(-1))
+            .alias("block_value"),
+        )
+        for i in range(n_blocks)
+    ]
+    exploded = signatures.select(
+        "id", F.col("simhash"), F.explode(F.array(*blocks)).alias("b")
+    ).select(
+        "id", "simhash", F.col("b.block_id").alias("block_id"), F.col("b.block_value").alias("block_value")
+    )
+    sizes = exploded.groupBy("block_id", "block_value").agg(
+        F.count("*").alias("bucket_size")
+    )
+    exploded = exploded.join(
+        sizes.where(
+            (F.col("bucket_size") > 1) & (F.col("bucket_size") <= max_bucket_size)
+        ),
+        ["block_id", "block_value"],
+    )
+    left = exploded.select(
+        "block_id", "block_value", F.col("id").alias("id_a"), F.col("simhash").alias("sim_a")
+    )
+    right = exploded.select(
+        "block_id", "block_value", F.col("id").alias("id_b"), F.col("simhash").alias("sim_b")
+    )
+    return (
+        left.join(right, ["block_id", "block_value"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def substring_fingerprint_pairs(
+    docs: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    gram_len: int = 40,
+    sample_mod: int = 8,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """(id_a, id_b, shared_grams) — exact-substring dup candidates.
+
+    Content-defined sampling (position-independent, unlike strided
+    sampling): hash EVERY char gram_len-gram, keep those with
+    ``hash % sample_mod == 0``. Identical substrings sample identical
+    grams regardless of their offset in each document; a common
+    substring of m chars survives with P ≈ 1 - (1-1/s)^(m-gram_len).
+    The explode+filter is whole-stage codegen and pipelined — only the
+    ~1/sample_mod sampled grams reach the shuffle.
+    """
+    grams = (
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+        .where(F.length("_t") >= gram_len)
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("_t") - gram_len + 1)
+            ).alias("p"),
+            "_t",
+        )
+        .select(
+            "id", F.xxhash64(F.expr(f"substring(_t, p, {gram_len})")).alias("g")
+        )
+        .where(F.pmod(F.col("g"), F.lit(sample_mod)) == 0)
+        .distinct()
+    )
+
+    sizes = grams.groupBy("g").agg(F.count("*").alias("bucket_size"))
+    grams = grams.join(
+        sizes.where(
+            (F.col("bucket_size") > 1) & (F.col("bucket_size") <= max_bucket_size)
+        ),
+        "g",
+    )
+    left = grams.select("g", F.col("id").alias("id_a"))
+    right = grams.select("g", F.col("id").alias("id_b"))
+    return (
+        left.join(right, "g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared_grams"))
+    )
+
+
+def exact_duplicates(
+    docs: DataFrame, id_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """(id, group_id, n_dups) for byte-identical texts — hash groupBy.
+
+    group_id = min id in the group; only groups with >1 member returned.
+    """
+    h = docs.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("text_md5")
+    )
+    groups = h.groupBy("text_md5").agg(
+        F.min("id").alias("group_id"), F.count("*").alias("n_dups")
+    )
+    return (
+        h.join(groups.where(F.col("n_dups") > 1), "text_md5")
+        .select("id", "group_id", "n_dups")
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    signatures: DataFrame,
+    threshold: float = 0.7,
+    hashes_col: str = "shingle_hashes",
+) -> DataFrame:
+    """Verify candidate pairs with *exact* shingle-set Jaccard.
+
+    Joins the (distinct-shingle-hash) arrays back onto the pairs and
+    computes |A∩B| / |A∪B| with array_intersect/array_union — JVM-side,
+    no UDF. The SymSpell analogue is the post-candidate distance verify
+    (symspellpy.py:582-584) with to_similarity thresholding
+    (helpers.py:253-265).
+    """
+    sig = signatures.select(F.col("id"), F.col(hashes_col).alias("_h"))
+    a = sig.select(F.col("id").alias("id_a"), F.col("_h").alias("_ha"))
+    b = sig.select(F.col("id").alias("id_b"), F.col("_h").alias("_hb"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_ha", "_hb"))
+            / F.size(F.array_union("_ha", "_hb")),
+        )
+        .drop("_ha", "_hb")
+        .where(F.col("jaccard") >= threshold)
+    )

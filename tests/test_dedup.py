@@ -1,0 +1,171 @@
+"""Dedup-stage correctness vs. brute-force oracles (SURVEY.md §5 item d)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from symspellpy_spark.operators.cluster import connected_components
+from symspellpy_spark.operators.dedup import (
+    exact_duplicates,
+    jaccard_verify,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    normalized_tokens,
+    shingles,
+    simhash_candidate_pairs,
+    simhash_signatures,
+    substring_fingerprint_pairs,
+)
+from symspellpy_spark.sources.pages import synthesize_pages, truth_pairs
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return synthesize_pages(spark, n_docs=400, n_base=100, seed=42).cache()
+
+
+@pytest.fixture(scope="module")
+def sigs(spark, pages):
+    toks = normalized_tokens(pages)
+    return minhash_signatures(shingles(toks, k=5)).cache()
+
+
+def brute_force_jaccard(pages_rows, k=5):
+    import re
+
+    docs = {}
+    for r in pages_rows:
+        toks = re.findall(r"[\w'’]+", r["text"].lower(), re.UNICODE)
+        if len(toks) >= k:
+            sh = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+        else:
+            sh = {" ".join(toks)}
+        docs[r["url"]] = sh
+    urls = sorted(docs)
+    out = {}
+    for i, a in enumerate(urls):
+        for b in urls[i + 1 :]:
+            inter = len(docs[a] & docs[b])
+            if inter:
+                out[(min(a, b), max(a, b))] = inter / len(docs[a] | docs[b])
+    return out
+
+
+def test_generator_deterministic(spark):
+    a = synthesize_pages(spark, n_docs=50, n_base=10, seed=7).collect()
+    b = synthesize_pages(spark, n_docs=50, n_base=10, seed=7).collect()
+    assert sorted((r["url"], r["text"]) for r in a) == sorted(
+        (r["url"], r["text"]) for r in b
+    )
+    c = synthesize_pages(spark, n_docs=50, n_base=10, seed=8).collect()
+    assert sorted(r["text"] for r in a) != sorted(r["text"] for r in c)
+
+
+def test_jaccard_verify_exact(spark, pages, sigs):
+    """jaccard_verify computes true shingle Jaccard (oracle: python sets)."""
+    oracle = brute_force_jaccard(pages.select("url", "text").collect())
+    all_pairs = spark.createDataFrame(
+        [(a, b) for (a, b) in oracle], "id_a string, id_b string"
+    )
+    got = jaccard_verify(all_pairs, sigs, threshold=0.0).collect()
+    for r in got:
+        key = (r["id_a"], r["id_b"])
+        assert abs(r["jaccard"] - oracle[key]) < 1e-9, key
+
+
+def test_lsh_recall_vs_bruteforce(spark, pages, sigs):
+    """LSH(32 bands x 4 rows) + exact verify at t=0.7: recall >= 0.99 vs
+    brute force; precision = 1 by construction (exact verify)."""
+    oracle = brute_force_jaccard(pages.select("url", "text").collect())
+    true_pairs = {k for k, v in oracle.items() if v >= 0.7}
+    cand = lsh_candidate_pairs(sigs, bands=32, num_perm=128)
+    verified = jaccard_verify(cand, sigs, threshold=0.7)
+    got = {(r["id_a"], r["id_b"]) for r in verified.collect()}
+    assert got <= true_pairs.union(set())  # exact verify -> no false positives
+    recall = len(got & true_pairs) / max(1, len(true_pairs))
+    assert len(true_pairs) > 20  # sanity: corpus really has near-dups
+    assert recall >= 0.99, (recall, len(true_pairs))
+
+
+def test_simhash_pairs_exact_vs_bruteforce(spark, pages):
+    """Block probing is exhaustive within the Hamming ball -> exact equality
+    with the O(n^2) oracle."""
+    toks = normalized_tokens(pages)
+    sigs = simhash_signatures(toks).select("id", "simhash").cache()
+    rows = sigs.collect()
+    sig_map = {r["id"]: np.uint64(np.int64(r["simhash"])) for r in rows}
+    ids = sorted(sig_map)
+    oracle = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if bin(int(sig_map[a] ^ sig_map[b])).count("1") <= 3:
+                oracle.add((a, b))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_candidate_pairs(sigs, max_hamming=3).collect()
+    }
+    assert got == oracle
+
+
+def test_substring_pass_finds_inclusions(spark, pages):
+    truth = {
+        (r["url_a"], r["url_b"])
+        for r in truth_pairs(pages).where(F.col("kind") == "exact_substring").collect()
+    }
+    got_df = substring_fingerprint_pairs(pages, gram_len=40, sample_mod=8)
+    got = set()
+    for r in got_df.collect():
+        got.add((r["id_a"], r["id_b"]))
+        got.add((r["id_b"], r["id_a"]))
+    found = sum(1 for p in truth if p in got)
+    assert len(truth) > 10
+    assert found / len(truth) >= 0.99, (found, len(truth))
+
+
+def test_exact_duplicates(spark):
+    docs = spark.createDataFrame(
+        [("u1", "same text"), ("u2", "same text"), ("u3", "other"), ("u4", "same text")],
+        "url string, text string",
+    )
+    got = {r["id"]: r["group_id"] for r in exact_duplicates(docs).collect()}
+    assert got == {"u1": "u1", "u2": "u1", "u4": "u1"}
+
+
+def test_connected_components_vs_bfs(spark):
+    rng = np.random.default_rng(5)
+    n = 300
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, n, size=(200, 2)) if a != b]
+    # python BFS oracle
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    oracle = {}
+    for start in sorted(adj):
+        if start in oracle:
+            continue
+        comp, stack = [], [start]
+        seen = {start}
+        while stack:
+            v = stack.pop()
+            comp.append(v)
+            for w in adj.get(v, ()):
+                if w not in seen:
+                    seen.add(w)
+                    stack.append(w)
+        m = min(comp)
+        for v in comp:
+            oracle[v] = m
+    edf = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"] for r in connected_components(edf).collect()}
+    assert got == oracle
+
+
+def test_connected_components_singletons(spark):
+    edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    verts = spark.createDataFrame([(1,), (2,), (9,)], "id long")
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(edges, vertices=verts).collect()
+    }
+    assert got == {1: 1, 2: 1, 9: 9}
