@@ -1,0 +1,271 @@
+"""End-to-end near-duplicate detection + clustering pipeline.
+
+The north-star job (BASELINE.json): pages -> token normalization
+(SymSpell delete-key correction of noisy tokens) -> shingles ->
+signatures (MinHash + SimHash) -> candidate pairs (LSH bands ∪ SimHash
+Hamming ∪ substring fingerprints ∪ exact-hash) -> exact-Jaccard verify
+-> hash-min connected components -> clusters.
+
+Checkpointing: ``signatures`` and ``edges`` are written as parquet
+checkpoint tables (Iceberg-shaped: data + a properties JSON carrying
+config and stage lineage); a rerun with the same ``checkpoint_dir``
+resumes from the newest complete stage instead of recomputing
+(the save_pickle/load_pickle analogue, reference pickle_mixin.py).
+Per-stage row counts land in a ``metrics`` table.
+
+Invariant (BASELINE.json input_hint): extracted ``text`` is carried
+byte-identically per url — the pipeline only ever *reads* it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from symspellpy_spark.config import EngineConfig, Verbosity
+from symspellpy_spark.operators.cluster import connected_components
+from symspellpy_spark.operators.dedup import (
+    exact_duplicates,
+    jaccard_verify,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    normalized_tokens,
+    shingles,
+    simhash_candidate_pairs,
+    simhash_signatures,
+    substring_fingerprint_pairs,
+)
+from symspellpy_spark.operators.dictionary import SparkDictionary
+from symspellpy_spark.operators.lookup import lookup_batch
+
+__all__ = ["DedupConfig", "DedupPipeline"]
+
+PIPELINE_VERSION = 1
+
+
+@dataclass
+class DedupConfig:
+    shingle_k: int = 5
+    num_perm: int = 128
+    bands: int = 32
+    minhash_seed: int = 1337
+    jaccard_threshold: float = 0.7
+    simhash_max_hamming: int = 3
+    substring_gram_len: int = 40
+    substring_sample_mod: int = 8
+    max_bucket_size: int = 1000
+    normalize_tokens: bool = False
+    normalize_min_count: int = 0  # only correct tokens rarer than this
+    engine: EngineConfig = field(default_factory=EngineConfig)
+
+    def to_json(self) -> str:
+        d = {k: v for k, v in self.__dict__.items() if k != "engine"}
+        d["engine"] = {
+            "max_dictionary_edit_distance": self.engine.max_dictionary_edit_distance,
+            "prefix_length": self.engine.prefix_length,
+        }
+        d["pipeline_version"] = PIPELINE_VERSION
+        return json.dumps(d, sort_keys=True)
+
+
+class DedupPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: DedupConfig | None = None,
+        dictionary: SparkDictionary | None = None,
+        checkpoint_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.config = config or DedupConfig()
+        self.dictionary = dictionary
+        self.checkpoint_dir = checkpoint_dir
+        self.metrics: list[dict] = []
+        self._memo: dict[str, DataFrame] = {}
+
+    # ---------------- checkpoint plumbing ----------------
+
+    def _ckpt_path(self, stage: str) -> str | None:
+        if self.checkpoint_dir is None:
+            return None
+        return os.path.join(self.checkpoint_dir, stage)
+
+    def _load_ckpt(self, stage: str) -> DataFrame | None:
+        path = self._ckpt_path(stage)
+        if path is None or not os.path.exists(os.path.join(path, "_PROPERTIES.json")):
+            return None
+        with open(os.path.join(path, "_PROPERTIES.json")) as fh:
+            props = json.load(fh)
+        if props.get("config") != self.config.to_json():
+            # config changed -> checkpoint invalid; recompute
+            return None
+        self._metric(stage, "resumed_from_checkpoint", 1)
+        return self.spark.read.parquet(os.path.join(path, "data"))
+
+    def _save_ckpt(self, stage: str, df: DataFrame) -> DataFrame:
+        path = self._ckpt_path(stage)
+        if path is None:
+            return df
+        df.write.mode("overwrite").parquet(os.path.join(path, "data"))
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "_PROPERTIES.json"), "w") as fh:
+            json.dump(
+                {"config": self.config.to_json(), "stage": stage, "ts": time.time()},
+                fh,
+            )
+        return self.spark.read.parquet(os.path.join(path, "data"))
+
+    def _metric(self, stage: str, name: str, value) -> None:
+        self.metrics.append(
+            {"stage": stage, "metric": name, "value": float(value), "ts": time.time()}
+        )
+
+    def metrics_df(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            self.metrics or [{"stage": "none", "metric": "none", "value": 0.0, "ts": 0.0}],
+            "stage string, metric string, value double, ts double",
+        )
+
+    # ---------------- stages ----------------
+
+    def tokens(self, pages: DataFrame) -> DataFrame:
+        toks = normalized_tokens(pages, id_col="url", text_col="text")
+        if self.config.normalize_tokens and self.dictionary is not None:
+            toks = self._symspell_normalize(toks)
+        return toks
+
+    def _symspell_normalize(self, toks: DataFrame) -> DataFrame:
+        """Correct noisy tokens with the delete-key index before shingling
+        (the north star's rebirth of SymSpell as candidate-generation).
+
+        Only out-of-vocabulary tokens are corrected; the token -> corrected
+        mapping is computed ONCE over distinct tokens and broadcast back.
+        """
+        distinct = toks.select(F.explode("tokens").alias("query")).distinct()
+        oov = distinct.join(
+            self.dictionary.words.select(F.col("term").alias("query")),
+            "query",
+            "left_anti",
+        )
+        corrections = lookup_batch(
+            oov, self.dictionary, Verbosity.TOP
+        ).select(F.col("query").alias("tok"), F.col("term").alias("corrected"))
+        cmap = F.broadcast(corrections)
+        exploded = toks.select(
+            "id", F.posexplode("tokens").alias("pos", "tok")
+        ).join(cmap, "tok", "left")
+        return exploded.groupBy("id").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("pos", F.coalesce("corrected", "tok").alias("t"))
+                    )
+                ),
+                lambda s: s["t"],
+            ).alias("tokens")
+        )
+
+    def signatures(self, pages: DataFrame) -> DataFrame:
+        if "signatures" in self._memo:
+            return self._memo["signatures"]
+        cached = self._load_ckpt("signatures")
+        if cached is not None:
+            self._memo["signatures"] = cached
+            return cached
+        toks = self.tokens(pages)
+        sh = shingles(toks, k=self.config.shingle_k)
+        mh = minhash_signatures(
+            sh, num_perm=self.config.num_perm, seed=self.config.minhash_seed
+        )
+        sig = simhash_signatures(mh).select(
+            "id", "shingle_hashes", "minhash", "simhash"
+        )
+        if self.checkpoint_dir is None:
+            sig = sig.localCheckpoint(eager=False)
+        sig = self._save_ckpt("signatures", sig)
+        self._metric("signatures", "rows", sig.count())
+        self._memo["signatures"] = sig
+        return sig
+
+    def candidate_pairs(self, pages: DataFrame, signatures: DataFrame) -> DataFrame:
+        c = self.config
+        lsh = lsh_candidate_pairs(
+            signatures,
+            bands=c.bands,
+            num_perm=c.num_perm,
+            max_bucket_size=c.max_bucket_size,
+        ).select("id_a", "id_b", F.lit("minhash_lsh").alias("source"))
+        sim = simhash_candidate_pairs(
+            signatures,
+            max_hamming=c.simhash_max_hamming,
+            max_bucket_size=c.max_bucket_size,
+        ).select("id_a", "id_b", F.lit("simhash").alias("source"))
+        sub = substring_fingerprint_pairs(
+            pages,
+            gram_len=c.substring_gram_len,
+            sample_mod=c.substring_sample_mod,
+            max_bucket_size=c.max_bucket_size,
+        ).select("id_a", "id_b", F.lit("substring").alias("source"))
+        exact = (
+            exact_duplicates(pages)
+            .where(F.col("id") != F.col("group_id"))
+            .select(
+                F.col("group_id").alias("id_a"),
+                F.col("id").alias("id_b"),
+                F.lit("exact").alias("source"),
+            )
+        )
+        pairs = lsh.unionByName(sim).unionByName(sub).unionByName(exact)
+        return pairs.groupBy("id_a", "id_b").agg(
+            F.collect_set("source").alias("sources")
+        )
+
+    def edges(self, pages: DataFrame) -> DataFrame:
+        if "edges" in self._memo:
+            return self._memo["edges"]
+        cached = self._load_ckpt("edges")
+        if cached is not None:
+            self._memo["edges"] = cached
+            return cached
+        sig = self.signatures(pages)
+        pairs = self.candidate_pairs(pages, sig)
+        self._metric("candidates", "rows", pairs.count())
+        verified = jaccard_verify(
+            pairs, sig, threshold=self.config.jaccard_threshold
+        ).select("id_a", "id_b", "jaccard", "sources")
+        # exact-substring / exact-hash pairs are kept even below the
+        # Jaccard threshold: containment, not symmetric similarity
+        containment = pairs.where(
+            F.arrays_overlap(F.col("sources"), F.array(F.lit("substring"), F.lit("exact")))
+        ).join(verified.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti").select(
+            "id_a", "id_b", F.lit(None).cast("double").alias("jaccard"), "sources"
+        )
+        edges = verified.unionByName(containment)
+        if self.checkpoint_dir is None:
+            edges = edges.localCheckpoint(eager=False)
+        edges = self._save_ckpt("edges", edges)
+        self._metric("edges", "rows", edges.count())
+        self._memo["edges"] = edges
+        return edges
+
+    def clusters(self, pages: DataFrame, include_singletons: bool = False) -> DataFrame:
+        e = self.edges(pages)
+        verts = pages.select(F.col("url").alias("id")) if include_singletons else None
+        cl = connected_components(e, vertices=verts).select(
+            F.col("id").alias("url"), "cluster_id"
+        )
+        self._metric("clusters", "rows", cl.count())
+        return cl
+
+    def run(self, pages: DataFrame) -> dict[str, DataFrame]:
+        clusters = self.clusters(pages)
+        return {
+            "signatures": self.signatures(pages),
+            "edges": self.edges(pages),
+            "clusters": clusters,
+            "metrics": self.metrics_df(),
+        }

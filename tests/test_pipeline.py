@@ -1,0 +1,108 @@
+"""End-to-end pipeline acceptance (BASELINE.json north rule):
+dup-pair recall >= 0.99 at identical shingle/signature config, checkpoint
+resume, and the byte-identical-text invariant."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from symspellpy_spark.operators.dictionary import SparkDictionary
+from symspellpy_spark.plans.pipeline import DedupConfig, DedupPipeline
+from symspellpy_spark.sources.pages import synthesize_pages, truth_pairs
+
+from tests.test_dedup import brute_force_jaccard
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return synthesize_pages(spark, n_docs=600, n_base=150, seed=42).cache()
+
+
+def _same_cluster_pairs(clusters_rows):
+    by_cluster = {}
+    for r in clusters_rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["url"])
+    pairs = set()
+    for members in by_cluster.values():
+        ms = sorted(members)
+        for i, a in enumerate(ms):
+            for b in ms[i + 1 :]:
+                pairs.add((a, b))
+                pairs.add((b, a))
+    return pairs
+
+
+def test_dup_pair_recall(spark, pages):
+    pipe = DedupPipeline(spark, DedupConfig())
+    out = pipe.run(pages)
+    cluster_pairs = _same_cluster_pairs(out["clusters"].collect())
+
+    # (1) recall vs brute-force Jaccard at the same config — the
+    # "identical shingle/signature config" criterion
+    oracle = brute_force_jaccard(pages.select("url", "text").collect(), k=5)
+    true_sim_pairs = {k for k, v in oracle.items() if v >= 0.7}
+    found = sum(1 for p in true_sim_pairs if p in cluster_pairs)
+    assert len(true_sim_pairs) > 50
+    recall_sim = found / len(true_sim_pairs)
+    assert recall_sim >= 0.99, recall_sim
+
+    # (2) recall vs generator ground truth (all dup kinds incl. substring)
+    truth = {
+        (r["url_a"], r["url_b"]) for r in truth_pairs(pages).collect()
+    }
+    found_truth = sum(1 for p in truth if p in cluster_pairs)
+    recall_truth = found_truth / len(truth)
+    assert recall_truth >= 0.99, recall_truth
+
+    # metrics table populated
+    stages = {r["stage"] for r in out["metrics"].collect()}
+    assert {"signatures", "candidates", "edges", "clusters"} <= stages
+
+
+def test_checkpoint_resume(spark, pages, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    cfg = DedupConfig()
+    p1 = DedupPipeline(spark, cfg, checkpoint_dir=ckpt)
+    edges1 = {(r["id_a"], r["id_b"]) for r in p1.edges(pages).collect()}
+
+    p2 = DedupPipeline(spark, cfg, checkpoint_dir=ckpt)
+    edges2 = {(r["id_a"], r["id_b"]) for r in p2.edges(pages).collect()}
+    assert edges1 == edges2
+    assert any(m["metric"] == "resumed_from_checkpoint" for m in p2.metrics)
+
+    # config change invalidates the checkpoint (warn-and-recompute analogue
+    # of pickle_mixin.py:140-148 version/settings gate)
+    p3 = DedupPipeline(
+        spark, DedupConfig(jaccard_threshold=0.5), checkpoint_dir=ckpt
+    )
+    p3.edges(pages)
+    assert not any(m["metric"] == "resumed_from_checkpoint" for m in p3.metrics)
+
+
+def test_byte_identical_text_invariant(spark, pages):
+    """Pipeline outputs join back to pages without touching text bytes."""
+    pipe = DedupPipeline(spark, DedupConfig())
+    clusters = pipe.clusters(pages)
+    joined = pages.join(clusters, "url", "left").select("url", "text")
+    orig = {r["url"]: r["text"] for r in pages.select("url", "text").collect()}
+    for r in joined.collect():
+        assert orig[r["url"]] == r["text"]
+
+
+def test_symspell_normalization_improves_matching(spark):
+    """Noisy-token correction via the delete-key index folds typo'd docs
+    onto their clean twins before shingling."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog and runs far away home",
+        "the quik brown fox jumps ovre the lazy dog and runs far away home",
+    ]
+    pages = spark.createDataFrame(
+        [(f"u{i}", t) for i, t in enumerate(texts)], "url string, text string"
+    )
+    vocab = spark.createDataFrame(
+        [(w, 100) for w in texts[0].split()], "term string, count long"
+    )
+    d = SparkDictionary.from_words(spark, vocab)
+    cfg = DedupConfig(normalize_tokens=True, shingle_k=3)
+    pipe = DedupPipeline(spark, cfg, dictionary=d)
+    toks = {r["id"]: list(r["tokens"]) for r in pipe.tokens(pages).collect()}
+    assert toks["u0"] == toks["u1"] == texts[0].split()
