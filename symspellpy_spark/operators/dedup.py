@@ -294,28 +294,44 @@ def substring_fingerprint_pairs(
     """(id_a, id_b, shared_grams) — exact-substring dup candidates.
 
     Content-defined sampling (position-independent, unlike strided
-    sampling): hash EVERY char gram_len-gram, keep those with
-    ``hash % sample_mod == 0``. Identical substrings sample identical
-    grams regardless of their offset in each document; a common
-    substring of m chars survives with P ≈ 1 - (1-1/s)^(m-gram_len).
-    The explode+filter is whole-stage codegen and pipelined — only the
-    ~1/sample_mod sampled grams reach the shuffle.
+    sampling): every char gram_len-gram is hashed with a polynomial
+    window hash (computed for ALL positions at once via a numpy
+    sliding-window matmul in uint64 mod-2^64 arithmetic), and only
+    grams with ``hash % sample_mod == 0`` are kept. Identical
+    substrings sample identical grams regardless of their offset, so a
+    common substring of m chars collides with
+    P ≈ 1 - (1-1/s)^(m-gram_len). Only the ~1/sample_mod sampled gram
+    hashes cross the Arrow boundary and reach the shuffle.
     """
+    base = 1099511628211  # FNV-prime multiplier (odd -> good mixing mod 2^64)
+    weights = np.array(
+        [pow(base, gram_len - 1 - j, 1 << 64) for j in range(gram_len)],
+        dtype=np.uint64,
+    )
+    mod = np.uint64(sample_mod)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sampled_grams(texts: pd.Series) -> pd.Series:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        out = []
+        for t in texts:
+            if t is None or len(t) < gram_len:
+                out.append([])
+                continue
+            codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
+                np.uint64
+            )
+            windows = sliding_window_view(codes, gram_len)
+            h = (windows * weights[None, :]).sum(axis=1, dtype=np.uint64)
+            sampled = h[h % mod == 0]
+            out.append(np.unique(sampled.astype(np.int64)).tolist())
+        return pd.Series(out, index=texts.index)
+
     grams = (
         docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
         .where(F.length("_t") >= gram_len)
-        .select(
-            "id",
-            F.explode(
-                F.sequence(F.lit(1), F.length("_t") - gram_len + 1)
-            ).alias("p"),
-            "_t",
-        )
-        .select(
-            "id", F.xxhash64(F.expr(f"substring(_t, p, {gram_len})")).alias("g")
-        )
-        .where(F.pmod(F.col("g"), F.lit(sample_mod)) == 0)
-        .distinct()
+        .select("id", F.explode(sampled_grams(F.col("_t"))).alias("g"))
     )
 
     sizes = grams.groupBy("g").agg(F.count("*").alias("bucket_size"))
@@ -359,6 +375,7 @@ def jaccard_verify(
     signatures: DataFrame,
     threshold: float = 0.7,
     hashes_col: str = "shingle_hashes",
+    minhash_prefilter_margin: float | None = 0.2,
 ) -> DataFrame:
     """Verify candidate pairs with *exact* shingle-set Jaccard.
 
@@ -367,14 +384,44 @@ def jaccard_verify(
     no UDF. The SymSpell analogue is the post-candidate distance verify
     (symspellpy.py:582-584) with to_similarity thresholding
     (helpers.py:253-265).
+
+    When the signatures carry a ``minhash`` column and
+    ``minhash_prefilter_margin`` is set, pairs whose MinHash Jaccard
+    *estimate* falls below ``threshold - margin`` are discarded before
+    the exact verify. The estimate is a zip_with equality count over the
+    (much smaller) 128-long signature, so candidate floods (e.g. SimHash
+    Hamming-close but Jaccard-far pairs on topically uniform corpora)
+    never reach the expensive array intersection. Chernoff bound at
+    margin 0.2 / 128 perms: P(drop | true j >= threshold) < 4e-5 —
+    inside the 0.99-recall budget.
     """
-    sig = signatures.select(F.col("id"), F.col(hashes_col).alias("_h"))
-    a = sig.select(F.col("id").alias("id_a"), F.col("_h").alias("_ha"))
-    b = sig.select(F.col("id").alias("id_b"), F.col("_h").alias("_hb"))
+    use_prefilter = (
+        minhash_prefilter_margin is not None and "minhash" in signatures.columns
+    )
+    cols = ["id", hashes_col] + (["minhash"] if use_prefilter else [])
+    sig = signatures.select(*cols)
+    a = sig.select(
+        F.col("id").alias("id_a"),
+        F.col(hashes_col).alias("_ha"),
+        *([F.col("minhash").alias("_ma")] if use_prefilter else []),
+    )
+    b = sig.select(
+        F.col("id").alias("id_b"),
+        F.col(hashes_col).alias("_hb"),
+        *([F.col("minhash").alias("_mb")] if use_prefilter else []),
+    )
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    if use_prefilter:
+        est = F.aggregate(
+            F.zip_with("_ma", "_mb", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ) / F.size("_ma")
+        joined = joined.where(
+            est >= F.lit(threshold - minhash_prefilter_margin)
+        ).drop("_ma", "_mb")
     return (
-        pairs.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn(
+        joined.withColumn(
             "jaccard",
             F.size(F.array_intersect("_ha", "_hb"))
             / F.size(F.array_union("_ha", "_hb")),

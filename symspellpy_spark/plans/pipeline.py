@@ -232,7 +232,7 @@ class DedupPipeline:
             self._memo["edges"] = cached
             return cached
         sig = self.signatures(pages)
-        pairs = self.candidate_pairs(pages, sig)
+        pairs = self.candidate_pairs(pages, sig).localCheckpoint(eager=False)
         self._metric("candidates", "rows", pairs.count())
         verified = jaccard_verify(
             pairs, sig, threshold=self.config.jaccard_threshold
