@@ -68,7 +68,9 @@ def connected_components(
             )
         )
         if checkpoint_every and (it % checkpoint_every == 0):
-            new_labels = new_labels.localCheckpoint(eager=True)
+            # lazy checkpoint: the convergence count below materializes it,
+            # so lineage is cut without an extra serial job per iteration
+            new_labels = new_labels.localCheckpoint(eager=False)
         n_changed = new_labels.where(F.col("changed")).count()
         labels = new_labels.drop("changed")
         if n_changed == 0:

@@ -191,17 +191,27 @@ def lsh_candidate_pairs(
 
 
 def simhash_signatures(
-    tokens: DataFrame, tokens_col: str = "tokens"
+    tokens: DataFrame,
+    tokens_col: str = "tokens",
+    hashes_col: str | None = None,
 ) -> DataFrame:
-    """Add ``simhash long``: 64-bit sign-sum fingerprint over token hashes.
+    """Add ``simhash long``: 64-bit sign-sum fingerprint.
 
-    Token hashing is JVM-side xxhash64; the UDF unpacks bits and
-    sign-sums with one numpy op per batch.
+    Inputs are either raw tokens (``tokens_col``; hashed JVM-side with
+    xxhash64) or an existing ``array<long>`` hash column (``hashes_col``
+    — e.g. shingle hashes). Prefer SHINGLE hashes for near-dup work:
+    unigram-token SimHash collapses on topically uniform corpora (every
+    doc drawn from the same vocabulary lands Hamming-close), while
+    shingle SimHash requires shared word order. The UDF unpacks bits
+    and sign-sums with one numpy op per batch.
     """
-    hashed = tokens.withColumn(
-        "_tok_hashes",
-        F.transform(F.col(tokens_col), lambda t: F.xxhash64(t)),
-    )
+    if hashes_col is not None:
+        hashed = tokens.withColumn("_tok_hashes", F.col(hashes_col))
+    else:
+        hashed = tokens.withColumn(
+            "_tok_hashes",
+            F.transform(F.col(tokens_col), lambda t: F.xxhash64(t)),
+        )
 
     @F.pandas_udf(LongType())
     def _simhash(hashes: pd.Series) -> pd.Series:

@@ -79,10 +79,12 @@ class DedupPipeline:
         config: DedupConfig | None = None,
         dictionary: SparkDictionary | None = None,
         checkpoint_dir: str | None = None,
+        collect_metrics: bool = True,
     ):
         self.spark = spark
         self.config = config or DedupConfig()
         self.dictionary = dictionary
+        self.collect_metrics = collect_metrics
         self.checkpoint_dir = checkpoint_dir
         self.metrics: list[dict] = []
         self._memo: dict[str, DataFrame] = {}
@@ -118,6 +120,12 @@ class DedupPipeline:
                 fh,
             )
         return self.spark.read.parquet(os.path.join(path, "data"))
+
+    def _metric_count(self, stage: str, df: DataFrame) -> None:
+        """Row-count metric — an extra job; skipped when metrics are off
+        (e.g. throughput benchmarking, where the caller counts anyway)."""
+        if self.collect_metrics:
+            self._metric(stage, "rows", df.count())
 
     def _metric(self, stage: str, name: str, value) -> None:
         self.metrics.append(
@@ -181,13 +189,13 @@ class DedupPipeline:
         mh = minhash_signatures(
             sh, num_perm=self.config.num_perm, seed=self.config.minhash_seed
         )
-        sig = simhash_signatures(mh).select(
+        sig = simhash_signatures(mh, hashes_col="shingle_hashes").select(
             "id", "shingle_hashes", "minhash", "simhash"
         )
         if self.checkpoint_dir is None:
             sig = sig.localCheckpoint(eager=False)
         sig = self._save_ckpt("signatures", sig)
-        self._metric("signatures", "rows", sig.count())
+        self._metric_count("signatures", sig)
         self._memo["signatures"] = sig
         return sig
 
@@ -233,7 +241,7 @@ class DedupPipeline:
             return cached
         sig = self.signatures(pages)
         pairs = self.candidate_pairs(pages, sig).localCheckpoint(eager=False)
-        self._metric("candidates", "rows", pairs.count())
+        self._metric_count("candidates", pairs)
         verified = jaccard_verify(
             pairs, sig, threshold=self.config.jaccard_threshold
         ).select("id_a", "id_b", "jaccard", "sources")
@@ -248,7 +256,7 @@ class DedupPipeline:
         if self.checkpoint_dir is None:
             edges = edges.localCheckpoint(eager=False)
         edges = self._save_ckpt("edges", edges)
-        self._metric("edges", "rows", edges.count())
+        self._metric_count("edges", edges)
         self._memo["edges"] = edges
         return edges
 
@@ -258,7 +266,7 @@ class DedupPipeline:
         cl = connected_components(e, vertices=verts).select(
             F.col("id").alias("url"), "cluster_id"
         )
-        self._metric("clusters", "rows", cl.count())
+        self._metric_count("clusters", cl)
         return cl
 
     def run(self, pages: DataFrame) -> dict[str, DataFrame]:

@@ -1,0 +1,110 @@
+"""Structured-Streaming variants of the dedup stages.
+
+Incremental ingestion of a pages stream: per-microbatch signature
+computation (stateless — the same pandas UDFs as batch), streaming
+exact-dedup against an accumulating state store, and a foreachBatch
+LSH pass that appends new candidate pairs against the already-indexed
+corpus (the standard "stream joined against its own history" shape).
+
+The reference has no streaming surface (SURVEY.md §2.6) — this is the
+incremental analogue of create_dictionary_entry's one-row-at-a-time
+index maintenance (symspellpy.py:194-256) lifted to document streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from symspellpy_spark.operators.dedup import (
+    minhash_signatures,
+    normalized_tokens,
+    shingles,
+    simhash_signatures,
+)
+
+__all__ = ["stream_signatures", "streaming_exact_dedup", "run_incremental_lsh"]
+
+
+def stream_signatures(
+    pages_stream: DataFrame,
+    shingle_k: int = 5,
+    num_perm: int = 128,
+    seed: int = 1337,
+) -> DataFrame:
+    """Streaming DF -> streaming DF of (id, shingle_hashes, minhash,
+    simhash). Stateless: works under any output mode."""
+    toks = normalized_tokens(pages_stream, id_col="url", text_col="text")
+    sig = minhash_signatures(shingles(toks, k=shingle_k), num_perm=num_perm, seed=seed)
+    return simhash_signatures(sig).select("id", "shingle_hashes", "minhash", "simhash")
+
+
+def streaming_exact_dedup(
+    pages_stream: DataFrame,
+    watermark_col: str = "warc_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming aggregation: per text-hash first-seen url + dup count.
+
+    Complete/update-mode aggregation keyed on md5(text); late rows beyond
+    the watermark are dropped.
+    """
+    return (
+        pages_stream.withWatermark(watermark_col, watermark)
+        .select(F.col("url"), F.md5("text").alias("text_md5"), F.col(watermark_col))
+        .groupBy("text_md5")
+        .agg(
+            F.min("url").alias("first_url"),
+            F.count("*").alias("n_seen"),
+        )
+    )
+
+
+def run_incremental_lsh(
+    spark: SparkSession,
+    pages_stream: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    bands: int = 32,
+    num_perm: int = 128,
+    checkpoint: str | None = None,
+):
+    """foreachBatch driver: each micro-batch's signatures are banded,
+    joined against the accumulated band index (parquet), new candidate
+    pairs appended, and the batch's bands appended to the index.
+
+    This is the streaming shape of lsh_candidate_pairs: batch-vs-history
+    instead of self-join, so each arriving page only pays a probe of the
+    existing index.
+    """
+    from symspellpy_spark.operators.dedup import _banded
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        sig = stream_signatures_batch(batch_df, num_perm=num_perm)
+        banded = _banded(sig.select("id", "minhash"), bands, num_perm)
+        try:
+            history = batch_df.sparkSession.read.parquet(index_path)
+            new_pairs = (
+                banded.join(
+                    history.withColumnRenamed("id", "id_b"),
+                    ["band_id", "band_hash"],
+                )
+                .where(F.col("id") != F.col("id_b"))
+                .select(
+                    F.least("id", "id_b").alias("id_a"),
+                    F.greatest("id", "id_b").alias("id_b"),
+                )
+                .distinct()
+            )
+            new_pairs.write.mode("append").parquet(pairs_path)
+        except Exception:
+            pass  # first batch: no history yet
+        banded.write.mode("append").parquet(index_path)
+
+    def stream_signatures_batch(batch_df: DataFrame, num_perm: int) -> DataFrame:
+        toks = normalized_tokens(batch_df, id_col="url", text_col="text")
+        return minhash_signatures(shingles(toks, k=5), num_perm=num_perm)
+
+    writer = pages_stream.writeStream.foreachBatch(process)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
