@@ -29,6 +29,7 @@ def run(cpus: int) -> dict:
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_SF_DIR=SF_DIR,
         BENCH_PIPELINE_DOCS=str(DOCS),
+        SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "60g"),
     )
     out = subprocess.run(
         [sys.executable, "bench.py"],
@@ -43,8 +44,15 @@ def run(cpus: int) -> dict:
 
 
 def main() -> None:
-    small = run(N_SMALL)
-    big = run(N_BIG)
+    reps = int(os.environ.get("SCALING_REPS", "2"))
+    # interleave configs and take the best rep per config: the sandbox
+    # host is shared, so single-shot timings carry large noise
+    smalls, bigs = [], []
+    for _ in range(reps):
+        smalls.append(run(N_SMALL))
+        bigs.append(run(N_BIG))
+    small = max(smalls, key=lambda r: r["docs_per_sec"])
+    big = max(bigs, key=lambda r: r["docs_per_sec"])
     tp_small = small["docs_per_sec"]
     tp_big = big["docs_per_sec"]
     eff = tp_big / (4 * tp_small)
@@ -58,6 +66,9 @@ def main() -> None:
         "docs_per_sec_big": tp_big,
         "pipeline_sec_small": small["pipeline_sec"],
         "pipeline_sec_big": big["pipeline_sec"],
+        "reps": reps,
+        "all_docs_per_sec_small": [r["docs_per_sec"] for r in smalls],
+        "all_docs_per_sec_big": [r["docs_per_sec"] for r in bigs],
         "detail_small": small,
         "detail_big": big,
     }

@@ -31,6 +31,7 @@ from pyspark.sql.types import ArrayType, LongType
 __all__ = [
     "normalized_tokens",
     "shingles",
+    "combined_signatures",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "lsh_bucket_stats",
@@ -109,18 +110,98 @@ def minhash_signatures(
 
     @F.pandas_udf(ArrayType(LongType()))
     def _minhash(hashes: pd.Series) -> pd.Series:
-        out = []
-        empty = np.full(num_perm, _MERSENNE31, dtype=np.int64).tolist()
-        for arr in hashes:
-            if arr is None or len(arr) == 0:
-                out.append(empty)
-                continue
-            x = np.asarray(arr, dtype=np.int64).astype(np.uint64) % _MERSENNE31
-            sig = ((a[:, None] * x[None, :] + b[:, None]) % _MERSENNE31).min(axis=1)
-            out.append(sig.astype(np.int64).tolist())
-        return pd.Series(out, index=hashes.index)
+        # whole-batch vectorization: flatten every doc's hash array into
+        # one vector, apply each permutation to the flat vector, and take
+        # per-doc minima with minimum.reduceat — the Python-level loop is
+        # over permutation CHUNKS (8 iterations), not documents.
+        n_docs = len(hashes)
+        empty = np.full(num_perm, _MERSENNE31, dtype=np.int64)
+        arrs = [
+            np.asarray(x, dtype=np.int64) if x is not None else np.empty(0, np.int64)
+            for x in hashes
+        ]
+        lens = np.fromiter((len(x) for x in arrs), dtype=np.int64, count=n_docs)
+        if lens.sum() == 0:
+            return pd.Series([empty.tolist()] * n_docs, index=hashes.index)
+        nonempty = lens > 0
+        flat = np.concatenate([x for x in arrs if len(x)]).astype(np.uint64)
+        flat %= _MERSENNE31
+        starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+        np.cumsum(lens[nonempty][:-1], out=starts[1:])
+        sig = np.empty((num_perm, len(starts)), dtype=np.uint64)
+        chunk = 16
+        for i in range(0, num_perm, chunk):
+            vals = (a[i : i + chunk, None] * flat[None, :] + b[i : i + chunk, None]) % _MERSENNE31
+            sig[i : i + chunk] = np.minimum.reduceat(vals, starts, axis=1)
+        out = np.tile(empty, (n_docs, 1))
+        out[nonempty] = sig.T.astype(np.int64)
+        return pd.Series(list(out.tolist()), index=hashes.index)
 
     return df.withColumn("minhash", _minhash(F.col(hashes_col)))
+
+
+def combined_signatures(
+    df: DataFrame,
+    num_perm: int = 128,
+    seed: int = 1337,
+    hashes_col: str = "shingle_hashes",
+) -> DataFrame:
+    """Add ``minhash array<long>`` AND ``simhash long`` in ONE fused
+    pandas UDF — a single Arrow crossing for the (wide) shingle-hash
+    arrays instead of two chained UDF stages. Semantics identical to
+    minhash_signatures + simhash_signatures(hashes_col=...).
+    """
+    from pyspark.sql.types import StructField, StructType
+
+    a, b = _minhash_params(num_perm, seed)
+    out_type = StructType(
+        [
+            StructField("minhash", ArrayType(LongType())),
+            StructField("simhash", LongType()),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def _sig(hashes: pd.Series) -> pd.DataFrame:
+        n_docs = len(hashes)
+        empty_mh = np.full(num_perm, _MERSENNE31, dtype=np.int64)
+        arrs = [
+            np.asarray(x, dtype=np.int64) if x is not None else np.empty(0, np.int64)
+            for x in hashes
+        ]
+        lens = np.fromiter((len(x) for x in arrs), dtype=np.int64, count=n_docs)
+        mh_out = np.tile(empty_mh, (n_docs, 1))
+        sh_out = np.zeros(n_docs, dtype=np.int64)
+        if lens.sum() > 0:
+            nonempty = lens > 0
+            flat_raw = np.concatenate([x for x in arrs if len(x)]).astype(np.uint64)
+            starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+            np.cumsum(lens[nonempty][:-1], out=starts[1:])
+            # minhash
+            flat = flat_raw % _MERSENNE31
+            sig = np.empty((num_perm, len(starts)), dtype=np.uint64)
+            for i in range(0, num_perm, 16):
+                vals = (
+                    a[i : i + 16, None] * flat[None, :] + b[i : i + 16, None]
+                ) % _MERSENNE31
+                sig[i : i + 16] = np.minimum.reduceat(vals, starts, axis=1)
+            mh_out[nonempty] = sig.T.astype(np.int64)
+            # simhash
+            sh = np.zeros(len(starts), dtype=np.uint64)
+            half = lens[nonempty].astype(np.float64) / 2.0
+            for bit in range(64):
+                ones = ((flat_raw >> np.uint64(bit)) & np.uint64(1)).astype(np.int64)
+                sh |= (np.add.reduceat(ones, starts) > half).astype(
+                    np.uint64
+                ) << np.uint64(bit)
+            sh_out[nonempty] = sh.astype(np.int64)
+        return pd.DataFrame(
+            {"minhash": list(mh_out.tolist()), "simhash": sh_out}
+        )
+
+    return df.withColumn("_sig", _sig(F.col(hashes_col))).select(
+        "*", F.col("_sig.minhash").alias("minhash"), F.col("_sig.simhash").alias("simhash")
+    ).drop("_sig")
 
 
 def _band_keys(num_perm: int, bands: int):
@@ -215,19 +296,29 @@ def simhash_signatures(
 
     @F.pandas_udf(LongType())
     def _simhash(hashes: pd.Series) -> pd.Series:
-        out = np.zeros(len(hashes), dtype=np.int64)
-        for i, arr in enumerate(hashes):
-            if arr is None or len(arr) == 0:
-                continue
-            x = np.asarray(arr, dtype=np.int64).astype(np.uint64)
-            bits = ((x[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-                np.int64
-            )
-            votes = (2 * bits - 1).sum(axis=0)
-            sig = np.uint64(0)
-            for b_idx in np.flatnonzero(votes > 0):
-                sig |= np.uint64(1) << np.uint64(b_idx)
-            out[i] = np.int64(sig.astype(np.int64))
+        # whole-batch: per-doc bit votes via add.reduceat over the
+        # flattened bit matrix; Python loop only over 64 bit positions.
+        n_docs = len(hashes)
+        out = np.zeros(n_docs, dtype=np.int64)
+        arrs = [
+            np.asarray(x, dtype=np.int64) if x is not None else np.empty(0, np.int64)
+            for x in hashes
+        ]
+        lens = np.fromiter((len(x) for x in arrs), dtype=np.int64, count=n_docs)
+        if lens.sum() == 0:
+            return pd.Series(out, index=hashes.index)
+        nonempty = lens > 0
+        flat = np.concatenate([x for x in arrs if len(x)]).astype(np.uint64)
+        starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+        np.cumsum(lens[nonempty][:-1], out=starts[1:])
+        sig = np.zeros(len(starts), dtype=np.uint64)
+        half = lens[nonempty].astype(np.float64) / 2.0
+        for bit in range(64):
+            ones = ((flat >> np.uint64(bit)) & np.uint64(1)).astype(np.int64)
+            per_doc_ones = np.add.reduceat(ones, starts)
+            # votes > 0  <=>  ones > len/2
+            sig |= (per_doc_ones > half).astype(np.uint64) << np.uint64(bit)
+        out[nonempty] = sig.astype(np.int64)
         return pd.Series(out, index=hashes.index)
 
     return hashed.withColumn("simhash", _simhash(F.col("_tok_hashes"))).drop(
@@ -322,20 +413,43 @@ def substring_fingerprint_pairs(
 
     @F.pandas_udf(ArrayType(LongType()))
     def sampled_grams(texts: pd.Series) -> pd.Series:
-        from numpy.lib.stride_tricks import sliding_window_view
-
-        out = []
-        for t in texts:
-            if t is None or len(t) < gram_len:
-                out.append([])
+        # whole-batch: concatenate all docs' char codes, compute every
+        # window hash with gram_len strided multiply-adds over the flat
+        # array (Python loop = gram_len iterations, not docs), mask out
+        # windows that cross document boundaries, then scatter sampled
+        # hashes back to their documents via searchsorted.
+        n_docs = len(texts)
+        codes_list = []
+        lens = np.zeros(n_docs, dtype=np.int64)
+        for i, t in enumerate(texts):
+            if t is None:
                 continue
-            codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
-                np.uint64
-            )
-            windows = sliding_window_view(codes, gram_len)
-            h = (windows * weights[None, :]).sum(axis=1, dtype=np.uint64)
-            sampled = h[h % mod == 0]
-            out.append(np.unique(sampled.astype(np.int64)).tolist())
+            c = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            lens[i] = len(c)
+            codes_list.append(c)
+        total = int(lens.sum())
+        if total < gram_len:
+            return pd.Series([[] for _ in range(n_docs)], index=texts.index)
+        flat = np.concatenate(codes_list).astype(np.uint64)
+        starts = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        n_win = total - gram_len + 1
+        h = np.zeros(n_win, dtype=np.uint64)
+        for j in range(gram_len):
+            h += flat[j : j + n_win] * weights[j]
+        pos = np.flatnonzero(h % mod == 0)
+        # a window at global position p belongs to doc i iff it lies
+        # fully inside [starts[i], starts[i]+lens[i]-gram_len]
+        doc_idx = np.searchsorted(starts, pos, side="right") - 1
+        valid = pos <= starts[doc_idx] + lens[doc_idx] - gram_len
+        pos, doc_idx = pos[valid], doc_idx[valid]
+        vals = h[pos].astype(np.int64)
+        out = [[] for _ in range(n_docs)]
+        bounds = np.searchsorted(doc_idx, np.arange(n_docs + 1))
+        for i in range(n_docs):
+            seg = vals[bounds[i] : bounds[i + 1]]
+            if len(seg):
+                out[i] = np.unique(seg).tolist()
         return pd.Series(out, index=texts.index)
 
     grams = (

@@ -186,12 +186,11 @@ class DedupPipeline:
             return cached
         toks = self.tokens(pages)
         sh = shingles(toks, k=self.config.shingle_k)
-        mh = minhash_signatures(
+        from symspellpy_spark.operators.dedup import combined_signatures
+
+        sig = combined_signatures(
             sh, num_perm=self.config.num_perm, seed=self.config.minhash_seed
-        )
-        sig = simhash_signatures(mh, hashes_col="shingle_hashes").select(
-            "id", "shingle_hashes", "minhash", "simhash"
-        )
+        ).select("id", "shingle_hashes", "minhash", "simhash")
         if self.checkpoint_dir is None:
             sig = sig.localCheckpoint(eager=False)
         sig = self._save_ckpt("signatures", sig)
