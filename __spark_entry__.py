@@ -425,6 +425,62 @@ def q_word_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute force, exact)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    to_d = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    a = emb.select(F.col("vec_id").alias("id_a"), to_d("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), to_d("embedding").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(col, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", dot / (norm(F.col("va")) * norm(F.col("vb"))))
+        .where(F.col("cos") >= 0.35)
+        .select("id_a", "id_b")
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace words + BPE-ish symbol split."""
+    docs = _read(spark, sf_dir, "documents")
+    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    syms = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit("[^a-z0-9 ]"), 0
+    )
+    return docs.select(
+        "doc_id",
+        F.size(words).alias("n_word_tokens"),
+        F.size(syms).alias("n_symbol_tokens"),
+        (F.size(words) + F.size(syms)).alias("n_total"),
+    )
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: content-sampled 24-char-gram md5 prints
+    (oracle-friendly md5 variant of the rolling-hash substring stage)."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.where(F.length("text") >= 24)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.length("text") - 23)).alias("p"),
+            F.col("text"),
+        )
+        .select("doc_id", F.md5(F.expr("substring(text, p, 24)")).alias("fp"))
+        .where(F.substring("fp", 1, 1) == "0")
+        .select("doc_id", F.col("fp").alias("fingerprint"))
+        .distinct()
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "vocab_build": q_vocab_build,
@@ -445,6 +501,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "compound_correct": q_compound_correct,
         "word_segmentation": q_word_segmentation,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
+        "token_count": q_token_count,
+        "doc_fingerprints": q_doc_fingerprints,
     }
 
 
@@ -592,6 +651,36 @@ def oracle_sql() -> dict[str, str]:
     SELECT user_id, session_idx, count(*) AS n_events,
            min(ts_s) AS start_s, max(ts_s) AS end_s
     FROM sess GROUP BY user_id, session_idx""",
+        "embedding_dup_pairs": """
+    WITH pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS va, b.embedding AS vb
+        FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id < b.vec_id
+    ),
+    flat AS (
+        SELECT id_a, id_b,
+               CAST(unnest(va) AS DOUBLE) AS x, CAST(unnest(vb) AS DOUBLE) AS y
+        FROM pairs
+    ),
+    scored AS (
+        SELECT id_a, id_b,
+               sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cos
+        FROM flat GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b FROM scored WHERE cos >= 0.35""",
+        "token_count": """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INTEGER) AS n_word_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS INTEGER) AS n_symbol_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+              + len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS INTEGER) AS n_total
+    FROM documents""",
+        "doc_fingerprints": """
+    WITH pos AS (
+        SELECT doc_id, text, unnest(range(1, length(text) - 22)) AS p
+        FROM documents WHERE length(text) >= 24
+    ),
+    fp AS (SELECT doc_id, md5(substr(text, p, 24)) AS fingerprint FROM pos)
+    SELECT DISTINCT doc_id, fingerprint FROM fp WHERE substr(fingerprint, 1, 1) = '0'""",
         "tpch_q1": """
     SELECT l_returnflag, l_linestatus,
            CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,

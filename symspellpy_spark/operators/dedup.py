@@ -522,6 +522,14 @@ def jaccard_verify(
     use_prefilter = (
         minhash_prefilter_margin is not None and "minhash" in signatures.columns
     )
+    # The pairs relation is narrow (two ids) but the joined relation is
+    # wide (signature arrays), and the per-row intersect/union work is
+    # the stage's real cost. AQE sizes the post-shuffle partitioning
+    # from the NARROW pre-join bytes and would coalesce to one or two
+    # partitions, serializing the verify — force a row-balanced
+    # partitioning first.
+    spark = pairs.sparkSession
+    pairs = pairs.repartition(spark.sparkContext.defaultParallelism * 2, "id_a")
     cols = ["id", hashes_col] + (["minhash"] if use_prefilter else [])
     sig = signatures.select(*cols)
     a = sig.select(

@@ -227,6 +227,12 @@ class DedupPipeline:
             )
         )
         pairs = lsh.unionByName(sim).unionByName(sub).unionByName(exact)
+        # candidate rows are narrow; AQE would coalesce this exchange to
+        # ~1 partition and serialize the dedup — pin a row-balanced
+        # partitioning on the group keys (reused by the groupBy)
+        pairs = pairs.repartition(
+            self.spark.sparkContext.defaultParallelism * 2, "id_a", "id_b"
+        )
         return pairs.groupBy("id_a", "id_b").agg(
             F.collect_set("source").alias("sources")
         )
