@@ -40,6 +40,7 @@ __all__ = [
     "substring_fingerprint_pairs",
     "exact_duplicates",
     "jaccard_verify",
+    "select_matches",
 ]
 
 _MERSENNE31 = (1 << 31) - 1
@@ -560,4 +561,41 @@ def jaccard_verify(
         )
         .drop("_ha", "_hb")
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def select_matches(
+    verified_pairs: DataFrame,
+    verbosity=None,
+    score_col: str = "jaccard",
+    id_col: str = "id_a",
+) -> DataFrame:
+    """Verbosity-style selection of verified matches per document
+    (reference Verbosity semantics, verbosity.py:24-38, transplanted to
+    pair verification): TOP keeps the single best match per ``id_col``,
+    CLOSEST keeps all matches tied at the best score, ALL keeps every
+    verified match.
+    """
+    from pyspark.sql import Window
+
+    from symspellpy_spark.config import Verbosity
+
+    if verbosity is None:
+        verbosity = Verbosity.ALL
+    if verbosity == Verbosity.ALL:
+        return verified_pairs
+    w = Window.partitionBy(id_col)
+    if verbosity == Verbosity.TOP:
+        ranked = verified_pairs.withColumn(
+            "__rn",
+            F.row_number().over(
+                w.orderBy(F.col(score_col).desc(), F.col("id_b").asc())
+            ),
+        )
+        return ranked.where(F.col("__rn") == 1).drop("__rn")
+    # CLOSEST: all matches at the maximal score
+    return (
+        verified_pairs.withColumn("__best", F.max(score_col).over(w))
+        .where(F.col(score_col) == F.col("__best"))
+        .drop("__best")
     )

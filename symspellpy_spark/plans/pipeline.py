@@ -122,10 +122,22 @@ class DedupPipeline:
         return self.spark.read.parquet(os.path.join(path, "data"))
 
     def _metric_count(self, stage: str, df: DataFrame) -> None:
-        """Row-count metric — an extra job; skipped when metrics are off
-        (e.g. throughput benchmarking, where the caller counts anyway)."""
-        if self.collect_metrics:
-            self._metric(stage, "rows", df.count())
+        """Row-count + per-partition lineage metrics — extra jobs;
+        skipped when metrics are off (e.g. throughput benchmarking,
+        where the caller counts anyway)."""
+        if not self.collect_metrics:
+            return
+        per_part = (
+            df.groupBy(F.spark_partition_id().alias("pid"))
+            .count()
+            .collect()
+        )
+        total = 0
+        for r in per_part:
+            self._metric(stage, f"partition_{r['pid']}_rows", r["count"])
+            total += r["count"]
+        self._metric(stage, "rows", total)
+        self._metric(stage, "partitions", len(per_part))
 
     def _metric(self, stage: str, name: str, value) -> None:
         self.metrics.append(
