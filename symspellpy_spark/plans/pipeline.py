@@ -88,6 +88,12 @@ class DedupPipeline:
         self.checkpoint_dir = checkpoint_dir
         self.metrics: list[dict] = []
         self._memo: dict[str, DataFrame] = {}
+        if checkpoint_dir is not None:
+            from symspellpy_spark.sources.catalog import TableCatalog
+
+            self._catalog = TableCatalog(spark, checkpoint_dir)
+        else:
+            self._catalog = None
 
     # ---------------- checkpoint plumbing ----------------
 
@@ -97,29 +103,21 @@ class DedupPipeline:
         return os.path.join(self.checkpoint_dir, stage)
 
     def _load_ckpt(self, stage: str) -> DataFrame | None:
-        path = self._ckpt_path(stage)
-        if path is None or not os.path.exists(os.path.join(path, "_PROPERTIES.json")):
+        if self._catalog is None:
             return None
-        with open(os.path.join(path, "_PROPERTIES.json")) as fh:
-            props = json.load(fh)
-        if props.get("config") != self.config.to_json():
-            # config changed -> checkpoint invalid; recompute
+        props = self._catalog.properties(stage)
+        if props is None or props.get("config") != self.config.to_json():
+            # absent or config changed -> checkpoint invalid; recompute
             return None
         self._metric(stage, "resumed_from_checkpoint", 1)
-        return self.spark.read.parquet(os.path.join(path, "data"))
+        return self._catalog.load(stage)
 
     def _save_ckpt(self, stage: str, df: DataFrame) -> DataFrame:
-        path = self._ckpt_path(stage)
-        if path is None:
+        if self._catalog is None:
             return df
-        df.write.mode("overwrite").parquet(os.path.join(path, "data"))
-        os.makedirs(path, exist_ok=True)
-        with open(os.path.join(path, "_PROPERTIES.json"), "w") as fh:
-            json.dump(
-                {"config": self.config.to_json(), "stage": stage, "ts": time.time()},
-                fh,
-            )
-        return self.spark.read.parquet(os.path.join(path, "data"))
+        return self._catalog.save(
+            df, stage, {"config": self.config.to_json(), "stage": stage}
+        )
 
     def _metric_count(self, stage: str, df: DataFrame) -> None:
         """Row-count + per-partition lineage metrics — extra jobs;
