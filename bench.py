@@ -39,6 +39,9 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.1
     n_pages = int(os.environ.get("BENCH_PIPELINE_DOCS", str(int(200_000 * sf))))
+    min_tok, max_tok = map(
+        int, os.environ.get("BENCH_DOC_TOKENS", "80,400").split(",")
+    )
 
     spark = get_spark("bench", cores=cpus)
 
@@ -65,7 +68,12 @@ def main() -> None:
     pages = timed(
         "pages_synth",
         lambda: synthesize_pages(
-            spark, n_docs=n_pages, n_base=n_pages // 4, seed=42
+            spark,
+            n_docs=n_pages,
+            n_base=n_pages // 4,
+            seed=42,
+            min_tokens=min_tok,
+            max_tokens=max_tok,
         ).localCheckpoint(eager=True),
     )
     pipe = DedupPipeline(spark, DedupConfig())

@@ -63,9 +63,16 @@ def _zipf_probs(n: int) -> np.ndarray:
     return p / p.sum()
 
 
-def _base_text(base_id: int, vocab: np.ndarray, probs: np.ndarray, seed: int) -> str:
+def _base_text(
+    base_id: int,
+    vocab: np.ndarray,
+    probs: np.ndarray,
+    seed: int,
+    min_tokens: int = 80,
+    max_tokens: int = 400,
+) -> str:
     rng = np.random.default_rng((seed, base_id, 0x7EA5))
-    n_tokens = int(rng.integers(80, 400))
+    n_tokens = int(rng.integers(min_tokens, max_tokens))
     words = rng.choice(vocab, size=n_tokens, p=probs)
     return " ".join(words.tolist())
 
@@ -115,6 +122,8 @@ def synthesize_pages(
     n_base: int | None = None,
     seed: int = 42,
     partitions: int | None = None,
+    min_tokens: int = 80,
+    max_tokens: int = 400,
 ) -> DataFrame:
     """-> pages(url, warc_ts, html, text, lang) — deterministic in (seed, n)."""
     if n_base is None:
@@ -130,7 +139,9 @@ def synthesize_pages(
             for doc_id in pdf["id"].to_numpy():
                 doc_id = int(doc_id)
                 base_id = doc_id % n_base
-                btext = _base_text(base_id, rng_vocab, probs, seed)
+                btext = _base_text(
+                    base_id, rng_vocab, probs, seed, min_tokens, max_tokens
+                )
                 if doc_id < n_base:
                     text, kind = btext, "original"
                 else:
@@ -146,7 +157,9 @@ def synthesize_pages(
                         rng2 = np.random.default_rng((seed, doc_id, 0xFEED))
                         text = " ".join(
                             rng2.choice(
-                                rng_vocab, size=int(rng2.integers(80, 400)), p=probs
+                                rng_vocab,
+                                size=int(rng2.integers(min_tokens, max_tokens)),
+                                p=probs,
                             )
                         )
                 out.append(
