@@ -175,27 +175,45 @@ def combined_signatures(
         sh_out = np.zeros(n_docs, dtype=np.int64)
         if lens.sum() > 0:
             nonempty = lens > 0
-            flat_raw = np.concatenate([x for x in arrs if len(x)]).astype(np.uint64)
-            starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
-            np.cumsum(lens[nonempty][:-1], out=starts[1:])
-            # minhash
-            flat = flat_raw % _MERSENNE31
-            sig = np.empty((num_perm, len(starts)), dtype=np.uint64)
-            for i in range(0, num_perm, 16):
-                vals = (
-                    a[i : i + 16, None] * flat[None, :] + b[i : i + 16, None]
-                ) % _MERSENNE31
-                sig[i : i + 16] = np.minimum.reduceat(vals, starts, axis=1)
-            mh_out[nonempty] = sig.T.astype(np.int64)
-            # simhash
-            sh = np.zeros(len(starts), dtype=np.uint64)
-            half = lens[nonempty].astype(np.float64) / 2.0
-            for bit in range(64):
-                ones = ((flat_raw >> np.uint64(bit)) & np.uint64(1)).astype(np.int64)
-                sh |= (np.add.reduceat(ones, starts) > half).astype(
-                    np.uint64
-                ) << np.uint64(bit)
-            sh_out[nonempty] = sh.astype(np.int64)
+            ne_idx = np.flatnonzero(nonempty)
+            ne_lens = lens[nonempty]
+            flat_all = np.concatenate([x for x in arrs if len(x)]).astype(np.uint64)
+            offs = np.zeros(len(ne_idx) + 1, dtype=np.int64)
+            np.cumsum(ne_lens, out=offs[1:])
+            # Work in blocks of documents whose flattened hashes stay
+            # under ~1M elements: the (16, n_flat) permutation temp is
+            # then <=128MB, keeping per-worker memory flat no matter how
+            # many workers run concurrently (memory churn, not CPU, is
+            # what breaks multi-core scaling for this kernel).
+            FLAT_BLOCK = 1 << 20
+            d0 = 0
+            while d0 < len(ne_idx):
+                d1 = d0 + 1
+                while d1 < len(ne_idx) and offs[d1 + 1] - offs[d0] <= FLAT_BLOCK:
+                    d1 += 1
+                flat_raw = flat_all[offs[d0] : offs[d1]]
+                starts = (offs[d0:d1] - offs[d0]).astype(np.int64)
+                # minhash
+                flat = flat_raw % _MERSENNE31
+                sig = np.empty((num_perm, d1 - d0), dtype=np.uint64)
+                for i in range(0, num_perm, 16):
+                    vals = (
+                        a[i : i + 16, None] * flat[None, :] + b[i : i + 16, None]
+                    ) % _MERSENNE31
+                    sig[i : i + 16] = np.minimum.reduceat(vals, starts, axis=1)
+                mh_out[ne_idx[d0:d1]] = sig.T.astype(np.int64)
+                # simhash
+                sh = np.zeros(d1 - d0, dtype=np.uint64)
+                half = ne_lens[d0:d1].astype(np.float64) / 2.0
+                for bit in range(64):
+                    ones = ((flat_raw >> np.uint64(bit)) & np.uint64(1)).astype(
+                        np.int64
+                    )
+                    sh |= (np.add.reduceat(ones, starts) > half).astype(
+                        np.uint64
+                    ) << np.uint64(bit)
+                sh_out[ne_idx[d0:d1]] = sh.astype(np.int64)
+                d0 = d1
         return pd.DataFrame(
             {"minhash": list(mh_out.tolist()), "simhash": sh_out}
         )
@@ -431,20 +449,34 @@ def substring_fingerprint_pairs(
         total = int(lens.sum())
         if total < gram_len:
             return pd.Series([[] for _ in range(n_docs)], index=texts.index)
-        flat = np.concatenate(codes_list).astype(np.uint64)
+        flat = np.concatenate(codes_list)  # uint32; upcast per block only
         starts = np.zeros(n_docs, dtype=np.int64)
         np.cumsum(lens[:-1], out=starts[1:])
         n_win = total - gram_len + 1
-        h = np.zeros(n_win, dtype=np.uint64)
-        for j in range(gram_len):
-            h += flat[j : j + n_win] * weights[j]
-        pos = np.flatnonzero(h % mod == 0)
+        # block the window-hash computation so temporaries stay ~16MB
+        # regardless of batch size (bounded per-worker memory is what
+        # keeps many concurrent workers from thrashing)
+        BLOCK = 1 << 21
+        pos_parts, val_parts = [], []
+        for w0 in range(0, n_win, BLOCK):
+            w1 = min(w0 + BLOCK, n_win)
+            hb = np.zeros(w1 - w0, dtype=np.uint64)
+            for j in range(gram_len):
+                hb += flat[w0 + j : w1 + j].astype(np.uint64) * weights[j]
+            sel = np.flatnonzero(hb % mod == 0)
+            if sel.size:
+                pos_parts.append(sel + w0)
+                val_parts.append(hb[sel])
+        if not pos_parts:
+            return pd.Series([[] for _ in range(n_docs)], index=texts.index)
+        pos = np.concatenate(pos_parts)
+        vals_u = np.concatenate(val_parts)
         # a window at global position p belongs to doc i iff it lies
         # fully inside [starts[i], starts[i]+lens[i]-gram_len]
         doc_idx = np.searchsorted(starts, pos, side="right") - 1
         valid = pos <= starts[doc_idx] + lens[doc_idx] - gram_len
-        pos, doc_idx = pos[valid], doc_idx[valid]
-        vals = h[pos].astype(np.int64)
+        doc_idx = doc_idx[valid]
+        vals = vals_u[valid].astype(np.int64)
         out = [[] for _ in range(n_docs)]
         bounds = np.searchsorted(doc_idx, np.arange(n_docs + 1))
         for i in range(n_docs):
