@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import ArrayType, LongType
 
 __all__ = [
@@ -72,19 +72,18 @@ def shingles(
     shingles (JVM-side; docs shorter than k get one whole-doc shingle)."""
     t = F.col(tokens_col)
     n = F.size(t)
-    shingle_strs = F.when(
+    # hash the k-token slice DIRECTLY (xxhash64 chains element hashes) —
+    # no shingle-string materialization: building tens of millions of
+    # joined strings per batch is pure JVM allocation/GC traffic, and GC
+    # contention is what breaks multi-core scaling for this stage
+    shingle_hashes = F.when(
         n >= k,
         F.transform(
             F.sequence(F.lit(1), n - k + 1),
-            lambda i: F.array_join(F.slice(t, i, k), " "),
+            lambda i: F.xxhash64(F.slice(t, i, k)),
         ),
-    ).otherwise(F.array(F.array_join(t, " ")))
-    return tokens.withColumn(
-        "shingle_hashes",
-        F.array_distinct(
-            F.transform(shingle_strs, lambda s: F.xxhash64(s))
-        ),
-    )
+    ).otherwise(F.array(F.xxhash64(t)))
+    return tokens.withColumn("shingle_hashes", F.array_distinct(shingle_hashes))
 
 
 def _minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
@@ -223,20 +222,62 @@ def combined_signatures(
     ).drop("_sig")
 
 
+def _bucket_pairs(
+    exploded: DataFrame,
+    bucket_cols: list[str],
+    member_col,
+    max_bucket_size: int,
+) -> DataFrame:
+    """Within-bucket pair generation: (id_a, id_b) for every unordered
+    member pair of each bucket with 1 < size <= max_bucket_size.
+
+    Shape chosen for 100 TB: ONE hash shuffle on the bucket key feeds a
+    window count (drops monster buckets BEFORE anything is collected),
+    then a same-key groupBy (partitioning + sort already satisfied -> no
+    second exchange) collects the capped member list and explodes the
+    i<j combinations. No bucket-size side relation, no self-join — the
+    join-based formulation tempts AQE into broadcasting a corpus-scale
+    per-key count table, which serializes on the driver (and on a real
+    cluster would ship the whole thing to every executor).
+
+    ``member_col`` may be a string column name or a struct Column; pairs
+    are ordered by the struct's first field (ids sorted within bucket).
+    """
+    member = F.col(member_col) if isinstance(member_col, str) else member_col
+    w = Window.partitionBy(*bucket_cols)
+    capped = (
+        exploded.select(*bucket_cols, member.alias("_m"))
+        .withColumn("_bs", F.count("*").over(w))
+        .where((F.col("_bs") > 1) & (F.col("_bs") <= max_bucket_size))
+    )
+    buckets = capped.groupBy(*bucket_cols).agg(
+        F.sort_array(F.collect_list("_m")).alias("_ms")
+    )
+    ms = F.col("_ms")
+    pairs = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + F.lit(2), F.size(ms)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return buckets.select(F.explode(pairs).alias("_p")).select(
+        F.col("_p.a").alias("id_a"), F.col("_p.b").alias("id_b")
+    )
+
+
 def _band_keys(num_perm: int, bands: int):
     rows = num_perm // bands
+    # xxhash64 over the long-array slice itself — fixed-width, no string
+    # rendering of 128-long signatures per band
     return [
         F.struct(
             F.lit(i).alias("band_id"),
-            F.xxhash64(
-                F.array_join(
-                    F.transform(
-                        F.slice(F.col("minhash"), i * rows + 1, rows),
-                        lambda v: v.cast("string"),
-                    ),
-                    ",",
-                )
-            ).alias("band_hash"),
+            F.xxhash64(F.slice(F.col("minhash"), i * rows + 1, rows)).alias(
+                "band_hash"
+            ),
         )
         for i in range(bands)
     ]
@@ -274,17 +315,8 @@ def lsh_candidate_pairs(
     several bands are deduplicated.
     """
     banded = _banded(signatures, bands, num_perm)
-    sized = banded.join(
-        lsh_bucket_stats(signatures, bands, num_perm).where(
-            (F.col("bucket_size") > 1) & (F.col("bucket_size") <= max_bucket_size)
-        ),
-        ["band_id", "band_hash"],
-    ).select("band_id", "band_hash", "id")
-    left = sized.select("band_id", "band_hash", F.col("id").alias("id_a"))
-    right = sized.select("band_id", "band_hash", F.col("id").alias("id_b"))
     return (
-        left.join(right, ["band_id", "band_hash"])
-        .where(F.col("id_a") < F.col("id_b"))
+        _bucket_pairs(banded, ["band_id", "band_hash"], "id", max_bucket_size)
         .select("id_a", "id_b")
         .distinct()
     )
@@ -375,28 +407,19 @@ def simhash_candidate_pairs(
     ).select(
         "id", "simhash", F.col("b.block_id").alias("block_id"), F.col("b.block_value").alias("block_value")
     )
-    sizes = exploded.groupBy("block_id", "block_value").agg(
-        F.count("*").alias("bucket_size")
-    )
-    exploded = exploded.join(
-        sizes.where(
-            (F.col("bucket_size") > 1) & (F.col("bucket_size") <= max_bucket_size)
-        ),
+    pairs = _bucket_pairs(
+        exploded,
         ["block_id", "block_value"],
-    )
-    left = exploded.select(
-        "block_id", "block_value", F.col("id").alias("id_a"), F.col("simhash").alias("sim_a")
-    )
-    right = exploded.select(
-        "block_id", "block_value", F.col("id").alias("id_b"), F.col("simhash").alias("sim_b")
+        F.struct(F.col("id"), F.col("simhash")),
+        max_bucket_size,
     )
     return (
-        left.join(right, ["block_id", "block_value"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+        pairs.select(
+            F.col("id_a.id").alias("id_a"),
+            F.col("id_b.id").alias("id_b"),
+            F.bit_count(
+                F.col("id_a.simhash").bitwiseXOR(F.col("id_b.simhash"))
+            ).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
         .distinct()
@@ -424,19 +447,36 @@ def substring_fingerprint_pairs(
     hashes cross the Arrow boundary and reach the shuffle.
     """
     base = 1099511628211  # FNV-prime multiplier (odd -> good mixing mod 2^64)
-    weights = np.array(
-        [pow(base, gram_len - 1 - j, 1 << 64) for j in range(gram_len)],
-        dtype=np.uint64,
-    )
     mod = np.uint64(sample_mod)
+    # prefix-product machinery: h_p = sum_j c[p+j]*base^(L-1-j)  (mod 2^64)
+    #                               = base^(L-1+p) * (T[p+L] - T[p])
+    # with T[k] = sum_{i<k} c[i]*inv^i and inv = base^-1 mod 2^64 (base is
+    # odd, so invertible). One cumsum + O(1) work per window replaces the
+    # L strided multiply-add passes of the naive kernel — ~30x less
+    # memory traffic, which is what decides multi-core scaling here.
+    PBLK = 1 << 20
+    inv = pow(base, -1, 1 << 64)
+    _pow_tab = np.empty(PBLK, dtype=np.uint64)
+    _inv_tab = np.empty(PBLK, dtype=np.uint64)
+    _pow_tab[0] = 1
+    _inv_tab[0] = 1
+    np.multiply.accumulate(
+        np.full(PBLK - 1, base, dtype=np.uint64), out=_pow_tab[1:]
+    )
+    np.multiply.accumulate(
+        np.full(PBLK - 1, np.uint64(inv), dtype=np.uint64), out=_inv_tab[1:]
+    )
+    pow_blk = np.uint64(pow(base, PBLK, 1 << 64))
+    inv_blk = np.uint64(pow(inv, PBLK, 1 << 64))
+    base_lm1 = np.uint64(pow(base, gram_len - 1, 1 << 64))
 
     @F.pandas_udf(ArrayType(LongType()))
     def sampled_grams(texts: pd.Series) -> pd.Series:
         # whole-batch: concatenate all docs' char codes, compute every
-        # window hash with gram_len strided multiply-adds over the flat
-        # array (Python loop = gram_len iterations, not docs), mask out
-        # windows that cross document boundaries, then scatter sampled
-        # hashes back to their documents via searchsorted.
+        # window hash via the prefix-sum identity above (hash values are
+        # identical to the direct polynomial), mask out windows that
+        # cross document boundaries, then scatter sampled hashes back to
+        # their documents via searchsorted.
         n_docs = len(texts)
         codes_list = []
         lens = np.zeros(n_docs, dtype=np.int64)
@@ -453,16 +493,27 @@ def substring_fingerprint_pairs(
         starts = np.zeros(n_docs, dtype=np.int64)
         np.cumsum(lens[:-1], out=starts[1:])
         n_win = total - gram_len + 1
-        # block the window-hash computation so temporaries stay ~16MB
-        # regardless of batch size (bounded per-worker memory is what
-        # keeps many concurrent workers from thrashing)
-        BLOCK = 1 << 21
+        # T[k] = sum_{i<k} c[i]*inv^i (mod 2^64), built blockwise so the
+        # inv^i table stays cache-resident
+        T = np.empty(total + 1, dtype=np.uint64)
+        T[0] = 0
+        scale = np.uint64(1)
+        for w0 in range(0, total, PBLK):
+            w1 = min(w0 + PBLK, total)
+            T[w0 + 1 : w1 + 1] = (
+                flat[w0:w1].astype(np.uint64) * (_inv_tab[: w1 - w0] * scale)
+            )
+            # scalar uint64 overflow warns in numpy; wrap via Python ints
+            scale = np.uint64((int(scale) * int(inv_blk)) & 0xFFFFFFFFFFFFFFFF)
+        np.cumsum(T, out=T)
         pos_parts, val_parts = [], []
-        for w0 in range(0, n_win, BLOCK):
-            w1 = min(w0 + BLOCK, n_win)
-            hb = np.zeros(w1 - w0, dtype=np.uint64)
-            for j in range(gram_len):
-                hb += flat[w0 + j : w1 + j].astype(np.uint64) * weights[j]
+        scale = base_lm1
+        for w0 in range(0, n_win, PBLK):
+            w1 = min(w0 + PBLK, n_win)
+            hb = (_pow_tab[: w1 - w0] * scale) * (
+                T[w0 + gram_len : w1 + gram_len] - T[w0:w1]
+            )
+            scale = np.uint64((int(scale) * int(pow_blk)) & 0xFFFFFFFFFFFFFFFF)
             sel = np.flatnonzero(hb % mod == 0)
             if sel.size:
                 pos_parts.append(sel + w0)
@@ -490,19 +541,8 @@ def substring_fingerprint_pairs(
         .where(F.length("_t") >= gram_len)
         .select("id", F.explode(sampled_grams(F.col("_t"))).alias("g"))
     )
-
-    sizes = grams.groupBy("g").agg(F.count("*").alias("bucket_size"))
-    grams = grams.join(
-        sizes.where(
-            (F.col("bucket_size") > 1) & (F.col("bucket_size") <= max_bucket_size)
-        ),
-        "g",
-    )
-    left = grams.select("g", F.col("id").alias("id_a"))
-    right = grams.select("g", F.col("id").alias("id_b"))
     return (
-        left.join(right, "g")
-        .where(F.col("id_a") < F.col("id_b"))
+        _bucket_pairs(grams, ["g"], "id", max_bucket_size)
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("shared_grams"))
     )
