@@ -43,7 +43,6 @@ __all__ = [
     "select_matches",
 ]
 
-_MERSENNE31 = (1 << 31) - 1
 
 
 def normalized_tokens(
@@ -70,27 +69,167 @@ def shingles(
 ) -> DataFrame:
     """Add ``shingle_hashes array<long>``: distinct xxhash64 of k-token
     shingles (JVM-side; docs shorter than k get one whole-doc shingle)."""
-    t = F.col(tokens_col)
-    n = F.size(t)
-    # hash the k-token slice DIRECTLY (xxhash64 chains element hashes) —
-    # no shingle-string materialization: building tens of millions of
-    # joined strings per batch is pure JVM allocation/GC traffic, and GC
-    # contention is what breaks multi-core scaling for this stage
+    # hash every token ONCE (hoisted to a materialized column — anything
+    # referenced inside a transform() lambda is re-evaluated per window),
+    # then hash the k-long window of token hashes (xxhash64 chains
+    # element hashes): tokens are variable-width strings — rehashing each
+    # one k times (or joining shingle strings) is k x the JVM work and
+    # allocation of this formulation
+    th = F.col("__th")
+    n = F.size(th)
     shingle_hashes = F.when(
         n >= k,
         F.transform(
             F.sequence(F.lit(1), n - k + 1),
-            lambda i: F.xxhash64(F.slice(t, i, k)),
+            lambda i: F.xxhash64(F.slice(th, i, k)),
         ),
-    ).otherwise(F.array(F.xxhash64(t)))
-    return tokens.withColumn("shingle_hashes", F.array_distinct(shingle_hashes))
+    ).otherwise(F.array(F.xxhash64(th)))
+    return (
+        tokens.withColumn(
+            "__th", F.transform(F.col(tokens_col), lambda tok: F.xxhash64(tok))
+        )
+        .withColumn("shingle_hashes", F.array_distinct(shingle_hashes))
+        .drop("__th")
+    )
 
 
 def _minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """(a, b) for the bijection family x -> a*x + b (mod 2^64), a odd.
+
+    An odd multiplier makes the map a true permutation of Z/2^64 — no
+    division/modulo in the hot loop (uint64 '%' costs ~30 cycles/element
+    and made the signature kernel memory+ALU bound; plain mul-add wraps
+    for free). Inputs are xxhash64 values, already well mixed.
+    """
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE31, size=num_perm, dtype=np.uint64)
-    b = rng.integers(0, _MERSENNE31, size=num_perm, dtype=np.uint64)
+    a = rng.integers(0, 1 << 62, size=num_perm, dtype=np.uint64) * 2 + 1
+    b = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
     return a, b
+
+
+_SIG_EMPTY = (1 << 63) - 1  # minhash slot for shingle-less docs
+_FLAT_BLOCK = 1 << 16  # hashes per kernel block: temporaries stay L2/L3-resident
+_PERM_CHUNK = 16
+
+
+def _flatten_hash_arrays(hashes: pd.Series):
+    """list-of-arrays column -> (flat uint64, per-doc offsets, lens, nonempty idx)."""
+    n_docs = len(hashes)
+    arrs = [
+        np.asarray(x, dtype=np.int64) if x is not None else np.empty(0, np.int64)
+        for x in hashes
+    ]
+    lens = np.fromiter((len(x) for x in arrs), dtype=np.int64, count=n_docs)
+    ne_idx = np.flatnonzero(lens > 0)
+    if ne_idx.size == 0:
+        return None, None, lens, ne_idx
+    flat = np.concatenate([arrs[i] for i in ne_idx]).astype(np.uint64)
+    offs = np.zeros(ne_idx.size + 1, dtype=np.int64)
+    np.cumsum(lens[ne_idx], out=offs[1:])
+    return flat, offs, lens, ne_idx
+
+
+def _sig_kernel(
+    hashes: pd.Series,
+    num_perm: int,
+    a: np.ndarray,
+    b: np.ndarray,
+    want_minhash: bool = True,
+    want_simhash: bool = True,
+):
+    """Blockwise MinHash/SimHash over a batch of hash arrays.
+
+    Documents are processed in blocks of ~_FLAT_BLOCK flattened hashes so
+    every temporary (the (chunk x block) permuted values, the bit-vote
+    vectors) stays cache-resident: the naive whole-batch broadcast
+    allocates 100MB+ temporaries per worker, and with one worker per
+    core the kernel turns memory-bound and stops scaling.
+    """
+    n_docs = len(hashes)
+    flat, offs, lens, ne_idx = _flatten_hash_arrays(hashes)
+    mh = (
+        np.full((n_docs, num_perm), _SIG_EMPTY, dtype=np.int64)
+        if want_minhash
+        else None
+    )
+    sh = np.zeros(n_docs, dtype=np.int64) if want_simhash else None
+    if flat is None:
+        return mh, sh
+    mh_ne, sh_ne = _sig_from_flat(flat, offs, num_perm, a, b, want_minhash, want_simhash)
+    if want_minhash:
+        mh[ne_idx] = mh_ne
+    if want_simhash:
+        sh[ne_idx] = sh_ne
+    return mh, sh
+
+
+def _sig_from_flat(
+    flat: np.ndarray,
+    offs: np.ndarray,
+    num_perm: int,
+    a: np.ndarray,
+    b: np.ndarray,
+    want_minhash: bool = True,
+    want_simhash: bool = True,
+):
+    """Core MinHash/SimHash over pre-flattened hashes.
+
+    ``flat``: uint64 hash values of all docs concatenated; ``offs``:
+    int64 array of n_docs+1 offsets (docs may be empty). Returns
+    (minhash int64 (n_docs, num_perm), simhash int64 (n_docs,)).
+    """
+    n = offs.size - 1
+    lens = offs[1:] - offs[:-1]
+    ne_idx = np.flatnonzero(lens > 0)
+    mh_out = (
+        np.full((n, num_perm), _SIG_EMPTY, dtype=np.int64) if want_minhash else None
+    )
+    sh_out = np.zeros(n, dtype=np.int64) if want_simhash else None
+    if ne_idx.size == 0:
+        return mh_out, sh_out
+    # compact to non-empty docs so reduceat segments are strictly
+    # increasing (empty docs would otherwise corrupt neighbour segments)
+    ne_starts = offs[ne_idx]
+    ne_lens = lens[ne_idx]
+    mh_ne = (
+        np.empty((num_perm, ne_idx.size), dtype=np.uint64) if want_minhash else None
+    )
+    sh_ne = np.empty(ne_idx.size, dtype=np.uint64) if want_simhash else None
+    d0 = 0
+    while d0 < ne_idx.size:
+        d1 = d0 + 1
+        base_off = ne_starts[d0]
+        while (
+            d1 < ne_idx.size
+            and ne_starts[d1] + ne_lens[d1] - base_off <= _FLAT_BLOCK
+        ):
+            d1 += 1
+        fb = flat[base_off : ne_starts[d1 - 1] + ne_lens[d1 - 1]]
+        starts = (ne_starts[d0:d1] - base_off).astype(np.int64)
+        if want_minhash:
+            for i in range(0, num_perm, _PERM_CHUNK):
+                vals = a[i : i + _PERM_CHUNK, None] * fb[None, :] + b[
+                    i : i + _PERM_CHUNK, None
+                ]  # wraps mod 2^64: a odd -> bijection
+                mh_ne[i : i + _PERM_CHUNK, d0:d1] = np.minimum.reduceat(
+                    vals, starts, axis=1
+                )
+        if want_simhash:
+            shb = np.zeros(d1 - d0, dtype=np.uint64)
+            half = ne_lens[d0:d1].astype(np.float64) / 2.0
+            for bit in range(64):
+                ones = ((fb >> np.uint64(bit)) & np.uint64(1)).astype(np.int64)
+                shb |= (np.add.reduceat(ones, starts) > half).astype(
+                    np.uint64
+                ) << np.uint64(bit)
+            sh_ne[d0:d1] = shb
+        d0 = d1
+    if want_minhash:
+        # >>1 keeps values in [0, 2^63): nonneg int64, order-preserving
+        mh_out[ne_idx] = (mh_ne >> np.uint64(1)).T.astype(np.int64)
+    if want_simhash:
+        sh_out[ne_idx] = sh_ne.astype(np.int64)
+    return mh_out, sh_out
 
 
 def minhash_signatures(
@@ -99,43 +238,14 @@ def minhash_signatures(
     seed: int = 1337,
     hashes_col: str = "shingle_hashes",
 ) -> DataFrame:
-    """Add ``minhash array<long>`` (num_perm 31-bit values).
-
-    h_k(doc) = min over shingles of (a_k * (x mod M31) + b_k) mod M31 —
-    the universal-hash family over a Mersenne prime; a_k*x + b_k stays
-    < 2^62 so plain uint64 arithmetic is exact. Vectorized as one
-    (num_perm x n_shingles) numpy broadcast per document.
-    """
+    """Add ``minhash array<long>`` (num_perm min values of the bijection
+    family x -> a_k*x + b_k mod 2^64; see :func:`_minhash_params`)."""
     a, b = _minhash_params(num_perm, seed)
 
     @F.pandas_udf(ArrayType(LongType()))
     def _minhash(hashes: pd.Series) -> pd.Series:
-        # whole-batch vectorization: flatten every doc's hash array into
-        # one vector, apply each permutation to the flat vector, and take
-        # per-doc minima with minimum.reduceat — the Python-level loop is
-        # over permutation CHUNKS (8 iterations), not documents.
-        n_docs = len(hashes)
-        empty = np.full(num_perm, _MERSENNE31, dtype=np.int64)
-        arrs = [
-            np.asarray(x, dtype=np.int64) if x is not None else np.empty(0, np.int64)
-            for x in hashes
-        ]
-        lens = np.fromiter((len(x) for x in arrs), dtype=np.int64, count=n_docs)
-        if lens.sum() == 0:
-            return pd.Series([empty.tolist()] * n_docs, index=hashes.index)
-        nonempty = lens > 0
-        flat = np.concatenate([x for x in arrs if len(x)]).astype(np.uint64)
-        flat %= _MERSENNE31
-        starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
-        np.cumsum(lens[nonempty][:-1], out=starts[1:])
-        sig = np.empty((num_perm, len(starts)), dtype=np.uint64)
-        chunk = 16
-        for i in range(0, num_perm, chunk):
-            vals = (a[i : i + chunk, None] * flat[None, :] + b[i : i + chunk, None]) % _MERSENNE31
-            sig[i : i + chunk] = np.minimum.reduceat(vals, starts, axis=1)
-        out = np.tile(empty, (n_docs, 1))
-        out[nonempty] = sig.T.astype(np.int64)
-        return pd.Series(list(out.tolist()), index=hashes.index)
+        mh, _ = _sig_kernel(hashes, num_perm, a, b, want_simhash=False)
+        return pd.Series(list(mh.tolist()), index=hashes.index)
 
     return df.withColumn("minhash", _minhash(F.col(hashes_col)))
 
@@ -163,63 +273,257 @@ def combined_signatures(
 
     @F.pandas_udf(out_type)
     def _sig(hashes: pd.Series) -> pd.DataFrame:
-        n_docs = len(hashes)
-        empty_mh = np.full(num_perm, _MERSENNE31, dtype=np.int64)
-        arrs = [
-            np.asarray(x, dtype=np.int64) if x is not None else np.empty(0, np.int64)
-            for x in hashes
-        ]
-        lens = np.fromiter((len(x) for x in arrs), dtype=np.int64, count=n_docs)
-        mh_out = np.tile(empty_mh, (n_docs, 1))
-        sh_out = np.zeros(n_docs, dtype=np.int64)
-        if lens.sum() > 0:
-            nonempty = lens > 0
-            ne_idx = np.flatnonzero(nonempty)
-            ne_lens = lens[nonempty]
-            flat_all = np.concatenate([x for x in arrs if len(x)]).astype(np.uint64)
-            offs = np.zeros(len(ne_idx) + 1, dtype=np.int64)
-            np.cumsum(ne_lens, out=offs[1:])
-            # Work in blocks of documents whose flattened hashes stay
-            # under ~1M elements: the (16, n_flat) permutation temp is
-            # then <=128MB, keeping per-worker memory flat no matter how
-            # many workers run concurrently (memory churn, not CPU, is
-            # what breaks multi-core scaling for this kernel).
-            FLAT_BLOCK = 1 << 20
-            d0 = 0
-            while d0 < len(ne_idx):
-                d1 = d0 + 1
-                while d1 < len(ne_idx) and offs[d1 + 1] - offs[d0] <= FLAT_BLOCK:
-                    d1 += 1
-                flat_raw = flat_all[offs[d0] : offs[d1]]
-                starts = (offs[d0:d1] - offs[d0]).astype(np.int64)
-                # minhash
-                flat = flat_raw % _MERSENNE31
-                sig = np.empty((num_perm, d1 - d0), dtype=np.uint64)
-                for i in range(0, num_perm, 16):
-                    vals = (
-                        a[i : i + 16, None] * flat[None, :] + b[i : i + 16, None]
-                    ) % _MERSENNE31
-                    sig[i : i + 16] = np.minimum.reduceat(vals, starts, axis=1)
-                mh_out[ne_idx[d0:d1]] = sig.T.astype(np.int64)
-                # simhash
-                sh = np.zeros(d1 - d0, dtype=np.uint64)
-                half = ne_lens[d0:d1].astype(np.float64) / 2.0
-                for bit in range(64):
-                    ones = ((flat_raw >> np.uint64(bit)) & np.uint64(1)).astype(
-                        np.int64
-                    )
-                    sh |= (np.add.reduceat(ones, starts) > half).astype(
-                        np.uint64
-                    ) << np.uint64(bit)
-                sh_out[ne_idx[d0:d1]] = sh.astype(np.int64)
-                d0 = d1
-        return pd.DataFrame(
-            {"minhash": list(mh_out.tolist()), "simhash": sh_out}
-        )
+        mh, sh = _sig_kernel(hashes, num_perm, a, b)
+        return pd.DataFrame({"minhash": list(mh.tolist()), "simhash": sh})
 
     return df.withColumn("_sig", _sig(F.col(hashes_col))).select(
         "*", F.col("_sig.minhash").alias("minhash"), F.col("_sig.simhash").alias("simhash")
     ).drop("_sig")
+
+
+def _fmix64(h: np.ndarray) -> np.ndarray:
+    """murmur3 64-bit finalizer, vectorized (uint64 in/out).
+
+    Polynomial hashes are linear in their inputs and the MinHash family
+    is affine — composing the two would correlate signature slots across
+    documents. The nonlinear finalizer breaks that (the role xxhash64
+    played in the JVM formulation)."""
+    h = h ^ (h >> np.uint64(33))
+    h = h * np.uint64(0xFF51AFD7ED558CCD)
+    h = h ^ (h >> np.uint64(33))
+    h = h * np.uint64(0xC4CEB9FE1A85EC53)
+    h = h ^ (h >> np.uint64(33))
+    return h
+
+
+_TOK_BASE = 1099511628211  # byte-level polynomial base (odd)
+_SHG_BASE = 0x9E3779B97F4A7C15 | 1  # token-level polynomial base (odd)
+
+
+class _PolyPrefix:
+    """Positional polynomial hashing over a flat array via prefix sums.
+
+    H(slice [s, e)) = (T[e] - T[s]) * base^s  (mod 2^64)
+                    = sum_j c[s+j] * inv^j    — position-independent.
+    One cumsum pass + O(1) per queried slice, instead of O(len) per
+    slice; everything wraps mod 2^64 (base odd -> invertible).
+    """
+
+    PBLK = 1 << 20
+
+    def __init__(self, base: int):
+        self.base = base
+        self.inv = pow(base, -1, 1 << 64)
+        self.pow_tab = np.empty(self.PBLK, dtype=np.uint64)
+        self.inv_tab = np.empty(self.PBLK, dtype=np.uint64)
+        self.pow_tab[0] = 1
+        self.inv_tab[0] = 1
+        np.multiply.accumulate(
+            np.full(self.PBLK - 1, base, dtype=np.uint64), out=self.pow_tab[1:]
+        )
+        np.multiply.accumulate(
+            np.full(self.PBLK - 1, np.uint64(self.inv), dtype=np.uint64),
+            out=self.inv_tab[1:],
+        )
+        self.pow_blk = pow(base, self.PBLK, 1 << 64)
+        self.inv_blk = pow(self.inv, self.PBLK, 1 << 64)
+
+    def prefix(self, c: np.ndarray) -> np.ndarray:
+        """T[k] = sum_{i<k} c[i] * inv^i (mod 2^64); len(T) = len(c)+1."""
+        total = c.size
+        T = np.empty(total + 1, dtype=np.uint64)
+        T[0] = 0
+        scale = 1
+        for w0 in range(0, total, self.PBLK):
+            w1 = min(w0 + self.PBLK, total)
+            T[w0 + 1 : w1 + 1] = c[w0:w1].astype(np.uint64) * (
+                self.inv_tab[: w1 - w0] * np.uint64(scale)
+            )
+            scale = (scale * self.inv_blk) & 0xFFFFFFFFFFFFFFFF
+        np.cumsum(T, out=T)
+        return T
+
+    def pow_at(self, idx: np.ndarray) -> np.ndarray:
+        """base^idx for an int64 index array (vectorized gather)."""
+        n_blk = int(idx.max() >> 20) + 1 if idx.size else 1
+        blk = np.empty(n_blk, dtype=np.uint64)
+        v = 1
+        for i in range(n_blk):
+            blk[i] = v
+            v = (v * self.pow_blk) & 0xFFFFFFFFFFFFFFFF
+        return blk[idx >> 20] * self.pow_tab[idx & (self.PBLK - 1)]
+
+    def slice_hash(self, T: np.ndarray, s: np.ndarray, e: np.ndarray) -> np.ndarray:
+        return (T[e] - T[s]) * self.pow_at(s)
+
+
+def tokens_to_signatures(
+    tokens: DataFrame,
+    k: int = 5,
+    num_perm: int = 128,
+    seed: int = 1337,
+    id_col: str = "id",
+    tokens_col: str = "tokens",
+    n_bands: int | None = None,
+) -> DataFrame:
+    """(id, shingle_hashes, minhash, simhash) in ONE Arrow pass.
+
+    The fused signature stage of the dedup pipeline: token hashing,
+    k-shingle hashing, per-doc dedup, MinHash and SimHash all run in
+    numpy over the *raw Arrow buffers* of the tokens column
+    (``mapInArrow``; the utf8 data buffer and offsets are read
+    zero-copy — no per-token Python objects are ever created).
+
+    Replaces the JVM formulation (transform/slice/xxhash64 per window):
+    higher-order Spark expressions are interpreted, allocating per-window
+    objects; at ~30M windows/task the JVM allocation rate throttles
+    every concurrent core (measured: 4x task-CPU inflation going 4->16
+    local cores). Here the same work is ~10 linear numpy passes.
+
+    Docs with fewer than k tokens get one whole-doc shingle; docs with 0
+    tokens get an empty shingle set, the empty-minhash sentinel, simhash
+    0 and an EMPTY bands list (so they never enter any LSH bucket).
+
+    With ``n_bands`` set, a ``bands array<long>`` column (one random-
+    weighted hash per num_perm/n_bands-slot band, nonlinearly finalized)
+    is emitted so candidate generation can read a ~40x narrower relation
+    than the minhash itself — RDD-level checkpoints do not column-prune,
+    so every byte in the signature row is paid by every downstream scan.
+    """
+    import pyarrow as pa
+
+    a, b = _minhash_params(num_perm, seed)
+    tok_poly = _PolyPrefix(_TOK_BASE)
+    shg_poly = _PolyPrefix(_SHG_BASE)
+    if n_bands:
+        rows_per_band = num_perm // n_bands
+        band_w = (
+            np.random.default_rng(seed + 7).integers(
+                0, 1 << 62, size=num_perm, dtype=np.uint64
+            )
+            * 2
+            + 1
+        )
+
+    def _batches(it):
+        for rb in it:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            ids = rb.column(0)
+            toks = rb.column(1)
+            # null token lists (null text upstream) read as empty docs:
+            # Spark's Arrow writer emits equal offsets for null slots
+            l_off = toks.offsets.to_numpy().astype(np.int64)  # n+1 into values
+            vals = toks.values
+            off_dtype = (
+                np.int64 if pa.types.is_large_string(vals.type) else np.int32
+            )
+            vo_raw = np.frombuffer(vals.buffers()[1], dtype=off_dtype)
+            v_off = vo_raw[vals.offset : vals.offset + len(vals) + 1].astype(
+                np.int64
+            )
+            data = np.frombuffer(vals.buffers()[2], dtype=np.uint8)
+            t0, t1 = int(l_off[0]), int(l_off[-1])
+            tok_starts = v_off[t0:t1]
+            tok_ends = v_off[t0 + 1 : t1 + 1]
+            b0 = int(tok_starts[0]) if t1 > t0 else 0
+            b1 = int(tok_ends[-1]) if t1 > t0 else 0
+            # 1. hash every token: byte-level polynomial + length mix
+            T1 = tok_poly.prefix(data[b0:b1])
+            z = tok_poly.slice_hash(T1, tok_starts - b0, tok_ends - b0)
+            z ^= (tok_ends - tok_starts).astype(np.uint64) << np.uint64(1)
+            z = _fmix64(z)
+            # 2. shingle hashes: token-level polynomial over z
+            d_start = l_off - t0  # per-doc token offsets, 0-based
+            d_len = d_start[1:] - d_start[:-1]
+            T2 = shg_poly.prefix(z)
+            n_tok = z.size
+            # full k-windows (docs with >= k tokens)
+            if n_tok >= k:
+                w = np.arange(n_tok - k + 1, dtype=np.int64)
+                doc_of_w = np.searchsorted(d_start[:-1], w, side="right") - 1
+                ok = w + k <= d_start[doc_of_w] + d_len[doc_of_w]
+                w = w[ok]
+                doc_of_w = doc_of_w[ok]
+            else:
+                w = np.empty(0, dtype=np.int64)
+                doc_of_w = w
+            wh = _fmix64(shg_poly.slice_hash(T2, w, w + k))
+            # short docs (0 < len < k): one whole-doc shingle
+            short = np.flatnonzero((d_len > 0) & (d_len < k))
+            sh_short = _fmix64(
+                shg_poly.slice_hash(
+                    T2, d_start[short], d_start[short] + d_len[short]
+                )
+            )
+            # 3. per-doc sort + dedup (set semantics for exact Jaccard)
+            all_doc = np.concatenate([doc_of_w, short])
+            all_val = np.concatenate([wh, sh_short]).astype(np.int64)
+            order = np.lexsort((all_val, all_doc))
+            all_doc = all_doc[order]
+            all_val = all_val[order]
+            if all_val.size:
+                keep = np.empty(all_val.size, dtype=bool)
+                keep[0] = True
+                np.not_equal(all_val[1:], all_val[:-1], out=keep[1:])
+                keep[1:] |= all_doc[1:] != all_doc[:-1]
+                all_doc = all_doc[keep]
+                all_val = all_val[keep]
+            counts = np.bincount(all_doc, minlength=n)
+            sh_offs = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(counts, out=sh_offs[1:])
+            # 4. signatures over the deduped flat shingle hashes
+            mh, sim = _sig_from_flat(
+                all_val.astype(np.uint64), sh_offs, num_perm, a, b
+            )
+            out_sh = pa.ListArray.from_arrays(
+                pa.array(sh_offs, type=pa.int32()),
+                pa.array(all_val, type=pa.int64()),
+            )
+            mh_list = pa.ListArray.from_arrays(
+                pa.array(
+                    np.arange(n + 1, dtype=np.int64) * num_perm, type=pa.int32()
+                ),
+                pa.array(mh.ravel(), type=pa.int64()),
+            )
+            cols = [ids, out_sh, mh_list, pa.array(sim, type=pa.int64())]
+            names = ["id", "shingle_hashes", "minhash", "simhash"]
+            if n_bands:
+                mh_u = mh.view(np.uint64)  # values < 2^63: same bits
+                bh = np.empty((n, n_bands), dtype=np.uint64)
+                for j in range(n_bands):
+                    s = j * rows_per_band
+                    acc = np.zeros(n, dtype=np.uint64)
+                    for i in range(rows_per_band):
+                        acc += mh_u[:, s + i] * band_w[s + i]
+                    bh[:, j] = _fmix64(acc)
+                nonempty_doc = (sh_offs[1:] - sh_offs[:-1]) > 0
+                b_counts = np.where(nonempty_doc, n_bands, 0)
+                b_offs = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(b_counts, out=b_offs[1:])
+                cols.append(
+                    pa.ListArray.from_arrays(
+                        pa.array(b_offs, type=pa.int32()),
+                        pa.array(
+                            bh[nonempty_doc].ravel().astype(np.int64),
+                            type=pa.int64(),
+                        ),
+                    )
+                )
+                names.append("bands")
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    id_type = tokens.select(F.col(id_col).alias("id")).schema[0].dataType.simpleString()
+    schema = (
+        f"id {id_type}, shingle_hashes array<bigint>, "
+        "minhash array<bigint>, simhash bigint"
+    )
+    if n_bands:
+        schema += ", bands array<bigint>"
+    return tokens.select(
+        F.col(id_col).alias("id"), F.col(tokens_col).alias("tokens")
+    ).mapInArrow(_batches, schema)
 
 
 def _bucket_pairs(
@@ -249,22 +553,32 @@ def _bucket_pairs(
         exploded.select(*bucket_cols, member.alias("_m"))
         .withColumn("_bs", F.count("*").over(w))
         .where((F.col("_bs") > 1) & (F.col("_bs") <= max_bucket_size))
+        .drop("_bs")
+        # materialize ONCE: the capped relation is orders of magnitude
+        # smaller than its upstream (explode + shuffle + any sampling
+        # UDF), which would otherwise be recomputed for each join side
+        # (exchange reuse across self-join sides is not guaranteed,
+        # especially under AQE). On a cluster this is a
+        # persist(MEMORY_AND_DISK)-class decision.
+        .localCheckpoint(eager=False)
     )
-    buckets = capped.groupBy(*bucket_cols).agg(
-        F.sort_array(F.collect_list("_m")).alias("_ms")
-    )
-    ms = F.col("_ms")
-    pairs = F.flatten(
-        F.transform(
-            ms,
-            lambda x, i: F.transform(
-                F.slice(ms, i + F.lit(2), F.size(ms)),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
-    return buckets.select(F.explode(pairs).alias("_p")).select(
-        F.col("_p.a").alias("id_a"), F.col("_p.b").alias("id_b")
+    # self-join the capped relation on the bucket key: both sides are
+    # the same window output — already hash-partitioned AND sorted on
+    # the key, so the sort-merge join inserts no exchange and no sort,
+    # and the whole pair blowup stays in whole-stage codegen. (An
+    # explode of per-bucket collect_list combinations evaluates higher-
+    # order lambdas interpreted, one object per emitted element —
+    # measured ~10x the CPU and GC of this join shape.)
+    a_side = capped.select(*bucket_cols, F.col("_m").alias("id_a"))
+    b_side = capped.select(*bucket_cols, F.col("_m").alias("id_b"))
+    # merge hint: with SMJ both children end in IDENTICAL hash
+    # exchanges, so ReusedExchange computes the upstream (incl. any
+    # sampling UDF) once; a broadcast join would duplicate the whole
+    # subplan AND serialize a corpus-scale build on the driver
+    return (
+        a_side.hint("merge").join(b_side.hint("merge"), bucket_cols)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
     )
 
 
@@ -283,7 +597,15 @@ def _band_keys(num_perm: int, bands: int):
     ]
 
 
-def _banded(df: DataFrame, bands: int, num_perm: int) -> DataFrame:
+def _banded(
+    df: DataFrame, bands: int, num_perm: int, bands_col: str | None = None
+) -> DataFrame:
+    """(id, band_id, band_hash) — from a precomputed ``bands_col``
+    (posexplode; empty lists drop out) or derived from ``minhash``."""
+    if bands_col is not None:
+        return df.select(
+            "id", F.posexplode(F.col(bands_col)).alias("band_id", "band_hash")
+        )
     return df.select(
         "id",
         F.explode(F.array(*_band_keys(num_perm, bands))).alias("band"),
@@ -306,15 +628,18 @@ def lsh_candidate_pairs(
     bands: int = 32,
     num_perm: int = 128,
     max_bucket_size: int = 1000,
+    bands_col: str | None = None,
 ) -> DataFrame:
     """(id_a, id_b) candidate pairs from MinHash LSH banding.
 
-    Within-bucket pairing is a self-join on (band_id, band_hash); buckets
-    larger than ``max_bucket_size`` are dropped (boilerplate-heavy hot
-    bands — observable via :func:`lsh_bucket_stats`); pairs reached in
-    several bands are deduplicated.
+    Buckets larger than ``max_bucket_size`` are dropped (boilerplate-
+    heavy hot bands — observable via :func:`lsh_bucket_stats`); pairs
+    reached in several bands are deduplicated. Pass ``bands_col`` when
+    the signature relation carries precomputed band hashes (see
+    :func:`tokens_to_signatures`) — candidate generation then never
+    touches the num_perm-wide minhash column.
     """
-    banded = _banded(signatures, bands, num_perm)
+    banded = _banded(signatures, bands, num_perm, bands_col=bands_col)
     return (
         _bucket_pairs(banded, ["band_id", "band_hash"], "id", max_bucket_size)
         .select("id_a", "id_b")
@@ -347,30 +672,8 @@ def simhash_signatures(
 
     @F.pandas_udf(LongType())
     def _simhash(hashes: pd.Series) -> pd.Series:
-        # whole-batch: per-doc bit votes via add.reduceat over the
-        # flattened bit matrix; Python loop only over 64 bit positions.
-        n_docs = len(hashes)
-        out = np.zeros(n_docs, dtype=np.int64)
-        arrs = [
-            np.asarray(x, dtype=np.int64) if x is not None else np.empty(0, np.int64)
-            for x in hashes
-        ]
-        lens = np.fromiter((len(x) for x in arrs), dtype=np.int64, count=n_docs)
-        if lens.sum() == 0:
-            return pd.Series(out, index=hashes.index)
-        nonempty = lens > 0
-        flat = np.concatenate([x for x in arrs if len(x)]).astype(np.uint64)
-        starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
-        np.cumsum(lens[nonempty][:-1], out=starts[1:])
-        sig = np.zeros(len(starts), dtype=np.uint64)
-        half = lens[nonempty].astype(np.float64) / 2.0
-        for bit in range(64):
-            ones = ((flat >> np.uint64(bit)) & np.uint64(1)).astype(np.int64)
-            per_doc_ones = np.add.reduceat(ones, starts)
-            # votes > 0  <=>  ones > len/2
-            sig |= (per_doc_ones > half).astype(np.uint64) << np.uint64(bit)
-        out[nonempty] = sig.astype(np.int64)
-        return pd.Series(out, index=hashes.index)
+        _, sh = _sig_kernel(hashes, 0, None, None, want_minhash=False)
+        return pd.Series(sh, index=hashes.index)
 
     return hashed.withColumn("simhash", _simhash(F.col("_tok_hashes"))).drop(
         "_tok_hashes"

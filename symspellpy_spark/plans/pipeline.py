@@ -150,8 +150,24 @@ class DedupPipeline:
 
     # ---------------- stages ----------------
 
+    def _pages64(self, pages: DataFrame) -> DataFrame:
+        """(id long, url, text): all internal stages key on
+        ``xxhash64(url)`` — every shuffle row then carries an 8-byte id
+        instead of a URL string (3-10x narrower candidate/edge shuffles;
+        at 10^12 docs you would never shuffle URL strings). Collision
+        odds at 10^12 docs are ~3e-2 pairs corpus-wide; urls are joined
+        back onto the final outputs from the (id, url) dimension."""
+        return pages.select(
+            F.xxhash64(F.col("url")).alias("id"), "url", "text"
+        )
+
+    def _id_map(self, pages: DataFrame) -> DataFrame:
+        return self._pages64(pages).select("id", "url")
+
     def tokens(self, pages: DataFrame) -> DataFrame:
-        toks = normalized_tokens(pages, id_col="url", text_col="text")
+        toks = normalized_tokens(
+            self._pages64(pages), id_col="id", text_col="text"
+        )
         if self.config.normalize_tokens and self.dictionary is not None:
             toks = self._symspell_normalize(toks)
         return toks
@@ -194,13 +210,15 @@ class DedupPipeline:
         if cached is not None:
             self._memo["signatures"] = cached
             return cached
-        toks = self.tokens(pages)
-        sh = shingles(toks, k=self.config.shingle_k)
-        from symspellpy_spark.operators.dedup import combined_signatures
+        from symspellpy_spark.operators.dedup import tokens_to_signatures
 
-        sig = combined_signatures(
-            sh, num_perm=self.config.num_perm, seed=self.config.minhash_seed
-        ).select("id", "shingle_hashes", "minhash", "simhash")
+        sig = tokens_to_signatures(
+            self.tokens(pages),
+            k=self.config.shingle_k,
+            num_perm=self.config.num_perm,
+            seed=self.config.minhash_seed,
+            n_bands=self.config.bands,
+        )
         if self.checkpoint_dir is None:
             sig = sig.localCheckpoint(eager=False)
         sig = self._save_ckpt("signatures", sig)
@@ -208,27 +226,45 @@ class DedupPipeline:
         self._memo["signatures"] = sig
         return sig
 
+    def _signatures_narrow(self, pages: DataFrame) -> DataFrame:
+        """(id, bands, simhash) — candidate generation reads THIS.
+
+        RDD checkpoints (and wide shuffle rows) do not column-prune, so
+        the band/block probing stages would otherwise deserialize the
+        full shingle+minhash payload (~2-3KB/doc) once per consumer;
+        the narrow relation is ~50B/doc."""
+        if "sig_narrow" not in self._memo:
+            narrow = self.signatures(pages).select("id", "bands", "simhash")
+            if self.checkpoint_dir is None:
+                narrow = narrow.localCheckpoint(eager=False)
+            self._memo["sig_narrow"] = narrow
+        return self._memo["sig_narrow"]
+
     def candidate_pairs(self, pages: DataFrame, signatures: DataFrame) -> DataFrame:
         c = self.config
+        narrow = self._signatures_narrow(pages)
+        pages64 = self._pages64(pages)
         lsh = lsh_candidate_pairs(
-            signatures,
+            narrow,
             bands=c.bands,
             num_perm=c.num_perm,
             max_bucket_size=c.max_bucket_size,
+            bands_col="bands",
         ).select("id_a", "id_b", F.lit("minhash_lsh").alias("source"))
         sim = simhash_candidate_pairs(
-            signatures,
+            narrow,
             max_hamming=c.simhash_max_hamming,
             max_bucket_size=c.max_bucket_size,
         ).select("id_a", "id_b", F.lit("simhash").alias("source"))
         sub = substring_fingerprint_pairs(
-            pages,
+            pages64,
+            id_col="id",
             gram_len=c.substring_gram_len,
             sample_mod=c.substring_sample_mod,
             max_bucket_size=c.max_bucket_size,
         ).select("id_a", "id_b", F.lit("substring").alias("source"))
         exact = (
-            exact_duplicates(pages)
+            exact_duplicates(pages64, id_col="id")
             .where(F.col("id") != F.col("group_id"))
             .select(
                 F.col("group_id").alias("id_a"),
@@ -277,10 +313,12 @@ class DedupPipeline:
 
     def clusters(self, pages: DataFrame, include_singletons: bool = False) -> DataFrame:
         e = self.edges(pages)
-        verts = pages.select(F.col("url").alias("id")) if include_singletons else None
-        cl = connected_components(e, vertices=verts).select(
-            F.col("id").alias("url"), "cluster_id"
-        )
+        verts = self._pages64(pages).select("id") if include_singletons else None
+        cl = connected_components(e, vertices=verts)
+        # map the 8-byte internal ids back to urls for the public output
+        # (plain equi-join: AQE broadcasts the small side locally; at
+        # 10^12 docs this is a shuffle join and correctly so)
+        cl = cl.join(self._id_map(pages), "id").select("url", "cluster_id")
         self._metric_count("clusters", cl)
         return cl
 

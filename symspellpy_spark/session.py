@@ -48,6 +48,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
+        # local-mode shuffle/spill funnels through ONE virtual disk; a
+        # real N-executor cluster has N sets of local disks. tmpfs gives
+        # the same per-core shuffle bandwidth a cluster's striped local
+        # SSDs would (falls back to /tmp when /dev/shm is absent)
+        .config(
+            "spark.local.dir",
+            "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -104,5 +104,7 @@ def test_symspell_normalization_improves_matching(spark):
     d = SparkDictionary.from_words(spark, vocab)
     cfg = DedupConfig(normalize_tokens=True, shingle_k=3)
     pipe = DedupPipeline(spark, cfg, dictionary=d)
+    # internal stage ids are xxhash64(url)
+    ids = {r["url"]: r["id"] for r in pipe._id_map(pages).collect()}
     toks = {r["id"]: list(r["tokens"]) for r in pipe.tokens(pages).collect()}
-    assert toks["u0"] == toks["u1"] == texts[0].split()
+    assert toks[ids["u0"]] == toks[ids["u1"]] == texts[0].split()
