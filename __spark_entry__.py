@@ -33,6 +33,7 @@ from symspellpy_spark.operators.dedup import (
     shingles,
     simhash_candidate_pairs,
     simhash_signatures,
+    text_to_signatures,
 )
 from symspellpy_spark.operators.deletes import delete_neighborhood
 from symspellpy_spark.operators.dictionary import SparkDictionary
@@ -463,6 +464,18 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shingle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 5-token-shingle count per doc via the fused Arrow
+    signature kernel (text_to_signatures): oracle-checkable because the
+    shingle hash is injective modulo 2^-64 collisions, so
+    size(shingle_hashes) == count(distinct 5-gram strings)."""
+    docs = _read(spark, sf_dir, "documents")
+    sig = text_to_signatures(docs, k=5, id_col="doc_id", text_col="text")
+    return sig.select(
+        F.col("id").alias("doc_id"), F.size("shingle_hashes").alias("n_shingles")
+    )
+
+
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: content-sampled 24-char-gram md5 prints
     (oracle-friendly md5 variant of the rolling-hash substring stage)."""
@@ -504,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "token_count": q_token_count,
         "doc_fingerprints": q_doc_fingerprints,
+        "shingle_count": q_shingle_count,
     }
 
 
@@ -674,6 +688,25 @@ def oracle_sql() -> dict[str, str]:
            CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
               + len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS INTEGER) AS n_total
     FROM documents""",
+        "shingle_count": """
+    WITH tok AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9_' || chr(39) || ']+') AS ts
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, ts, unnest(range(1, len(ts) - 3)) AS i
+        FROM tok WHERE len(ts) >= 5
+    ),
+    counted AS (
+        SELECT doc_id, count(DISTINCT array_to_string(ts[i:i+4], ' ')) AS n
+        FROM pos GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(CASE WHEN len(t.ts) = 0 THEN 0
+                     WHEN len(t.ts) < 5 THEN 1
+                     ELSE c.n END AS INTEGER) AS n_shingles
+    FROM tok t LEFT JOIN counted c USING (doc_id)""",
         "doc_fingerprints": """
     WITH pos AS (
         SELECT doc_id, text, unnest(range(1, length(text) - 22)) AS p

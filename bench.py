@@ -14,10 +14,19 @@ Workloads:
   (the testdata documents table has a 31-word vocabulary — too small to
   exercise signature stages), reporting docs/sec.
 
+The pipeline corpus is written to parquet first (untimed) and read back
+as the pipeline input — the production shape (the engine's input is an
+Iceberg/parquet table of pages), giving columnar pruned scans. A small
+warmup corpus runs the full pipeline once beforehand so the timed run
+measures the operators, not Janino/JIT compilation of their stages.
+
 Env:
   SPARK_GRAFT_SF_DIR   input dir            (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local parallelism    (default 32)
-  BENCH_PIPELINE_DOCS  override corpus size (default 200000*sf)
+  BENCH_PIPELINE_DOCS  override corpus size (default 600000*sf)
+  BENCH_DOC_TOKENS     min,max tokens/doc   (default 80,400)
+  BENCH_REPS           pipeline repetitions (default 1; best is reported)
+  BENCH_SCRATCH        scratch dir for the parquet corpus
 """
 
 from __future__ import annotations
@@ -25,6 +34,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 import sys
 import time
 
@@ -33,20 +43,44 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from symspellpy_spark.session import get_spark  # noqa: E402
 
 
+def run_pipeline(spark, pages, n_docs: int) -> dict[str, float]:
+    from symspellpy_spark.plans.pipeline import DedupConfig, DedupPipeline
+
+    pipe = DedupPipeline(spark, DedupConfig())
+    t: dict[str, float] = {}
+    t0 = time.perf_counter()
+    pipe.signatures(pages).count()
+    t1 = time.perf_counter()
+    pipe.edges(pages).count()
+    t2 = time.perf_counter()
+    pipe.clusters(pages).count()
+    t3 = time.perf_counter()
+    t["pipeline_signatures"] = round(t1 - t0, 3)
+    t["pipeline_edges"] = round(t2 - t1, 3)
+    t["pipeline_clusters"] = round(t3 - t2, 3)
+    t["pipeline_sec"] = round(t3 - t0, 3)
+    t["docs_per_sec"] = round(n_docs / (t3 - t0), 1)
+    return t
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.1
-    n_pages = int(os.environ.get("BENCH_PIPELINE_DOCS", str(int(200_000 * sf))))
+    n_pages = int(os.environ.get("BENCH_PIPELINE_DOCS", str(int(600_000 * sf))))
     min_tok, max_tok = map(
         int, os.environ.get("BENCH_DOC_TOKENS", "80,400").split(",")
+    )
+    reps = int(os.environ.get("BENCH_REPS", "1"))
+    scratch = os.environ.get(
+        "BENCH_SCRATCH",
+        ("/dev/shm" if os.path.isdir("/dev/shm") else "/tmp") + "/spark_graft_bench",
     )
 
     spark = get_spark("bench", cores=cpus)
 
     import __spark_entry__ as E
-    from symspellpy_spark.plans.pipeline import DedupConfig, DedupPipeline
     from symspellpy_spark.sources.pages import synthesize_pages
 
     timings: dict[str, float] = {}
@@ -64,44 +98,56 @@ def main() -> None:
     timed("sessionize", lambda: E.q_sessionize(spark, sf_dir).count())
     timed("tpch_q1", lambda: E.q_tpch_q1(spark, sf_dir).count())
 
-    # --- flagship pipeline over synthesized pages ---
-    pages = timed(
-        "pages_synth",
-        lambda: synthesize_pages(
-            spark,
-            n_docs=n_pages,
-            n_base=n_pages // 4,
-            seed=42,
-            min_tokens=min_tok,
-            max_tokens=max_tok,
-        ).localCheckpoint(eager=True),
-    )
-    pipe = DedupPipeline(spark, DedupConfig())
-    timed("pipeline_signatures", lambda: pipe.signatures(pages).count())
-    timed("pipeline_edges", lambda: pipe.edges(pages).count())
-    timed("pipeline_clusters", lambda: pipe.clusters(pages).count())
+    # --- flagship pipeline over a synthesized parquet pages table ---
+    pages_path = os.path.join(scratch, f"pages_{n_pages}")
+    shutil.rmtree(pages_path, ignore_errors=True)
+    t0 = time.perf_counter()
+    synthesize_pages(
+        spark,
+        n_docs=n_pages,
+        n_base=n_pages // 4,
+        seed=42,
+        min_tokens=min_tok,
+        max_tokens=max_tok,
+    ).write.mode("overwrite").parquet(pages_path)
+    timings["pages_synth_write"] = round(time.perf_counter() - t0, 3)
+    pages = spark.read.parquet(pages_path)
 
-    pipeline_sec = (
-        timings["pipeline_signatures"]
-        + timings["pipeline_edges"]
-        + timings["pipeline_clusters"]
-    )
-    total = round(sum(timings.values()), 3)
+    # warmup: identical stages over a small corpus (JIT/codegen compile)
+    warm = synthesize_pages(
+        spark, n_docs=4000, n_base=1000, seed=7,
+        min_tokens=min_tok, max_tokens=max_tok,
+    ).localCheckpoint(eager=True)
+    run_pipeline(spark, warm, 4000)
+
+    best: dict[str, float] | None = None
+    for _ in range(reps):
+        cur = run_pipeline(spark, pages, n_pages)
+        if best is None or cur["pipeline_sec"] < best["pipeline_sec"]:
+            best = cur
+    timings.update(best)
+
+    total = round(sum(v for k, v in timings.items() if k != "docs_per_sec"), 3)
     print(
         json.dumps(
             {
                 "metric": "total_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {
+                    k: v for k, v in timings.items()
+                    if k not in ("pipeline_sec", "docs_per_sec")
+                },
                 "sf": sf,
                 "cpus": cpus,
                 "pipeline_docs": n_pages,
-                "pipeline_sec": round(pipeline_sec, 3),
-                "docs_per_sec": round(n_pages / pipeline_sec, 1),
+                "pipeline_reps": reps,
+                "pipeline_sec": best["pipeline_sec"],
+                "docs_per_sec": best["docs_per_sec"],
             }
         )
     )
+    shutil.rmtree(pages_path, ignore_errors=True)
     spark.stop()
 
 

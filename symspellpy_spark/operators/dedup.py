@@ -32,6 +32,8 @@ __all__ = [
     "normalized_tokens",
     "shingles",
     "combined_signatures",
+    "tokens_to_signatures",
+    "text_to_signatures",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "lsh_bucket_stats",
@@ -390,22 +392,11 @@ def tokens_to_signatures(
     than the minhash itself — RDD-level checkpoints do not column-prune,
     so every byte in the signature row is paid by every downstream scan.
     """
-    import pyarrow as pa
-
-    a, b = _minhash_params(num_perm, seed)
-    tok_poly = _PolyPrefix(_TOK_BASE)
-    shg_poly = _PolyPrefix(_SHG_BASE)
-    if n_bands:
-        rows_per_band = num_perm // n_bands
-        band_w = (
-            np.random.default_rng(seed + 7).integers(
-                0, 1 << 62, size=num_perm, dtype=np.uint64
-            )
-            * 2
-            + 1
-        )
+    siggen = _SignatureGen(k, num_perm, seed, n_bands)
 
     def _batches(it):
+        import pyarrow as pa
+
         for rb in it:
             n = rb.num_rows
             if n == 0:
@@ -429,100 +420,231 @@ def tokens_to_signatures(
             tok_ends = v_off[t0 + 1 : t1 + 1]
             b0 = int(tok_starts[0]) if t1 > t0 else 0
             b1 = int(tok_ends[-1]) if t1 > t0 else 0
-            # 1. hash every token: byte-level polynomial + length mix
-            T1 = tok_poly.prefix(data[b0:b1])
-            z = tok_poly.slice_hash(T1, tok_starts - b0, tok_ends - b0)
+            # hash every token: byte-level polynomial + length mix
+            T1 = siggen.tok_poly.prefix(data[b0:b1])
+            z = siggen.tok_poly.slice_hash(T1, tok_starts - b0, tok_ends - b0)
             z ^= (tok_ends - tok_starts).astype(np.uint64) << np.uint64(1)
             z = _fmix64(z)
-            # 2. shingle hashes: token-level polynomial over z
             d_start = l_off - t0  # per-doc token offsets, 0-based
-            d_len = d_start[1:] - d_start[:-1]
-            T2 = shg_poly.prefix(z)
-            n_tok = z.size
-            # full k-windows (docs with >= k tokens)
-            if n_tok >= k:
-                w = np.arange(n_tok - k + 1, dtype=np.int64)
-                doc_of_w = np.searchsorted(d_start[:-1], w, side="right") - 1
-                ok = w + k <= d_start[doc_of_w] + d_len[doc_of_w]
-                w = w[ok]
-                doc_of_w = doc_of_w[ok]
-            else:
-                w = np.empty(0, dtype=np.int64)
-                doc_of_w = w
-            wh = _fmix64(shg_poly.slice_hash(T2, w, w + k))
-            # short docs (0 < len < k): one whole-doc shingle
-            short = np.flatnonzero((d_len > 0) & (d_len < k))
-            sh_short = _fmix64(
-                shg_poly.slice_hash(
-                    T2, d_start[short], d_start[short] + d_len[short]
-                )
-            )
-            # 3. per-doc sort + dedup (set semantics for exact Jaccard)
-            all_doc = np.concatenate([doc_of_w, short])
-            all_val = np.concatenate([wh, sh_short]).astype(np.int64)
-            order = np.lexsort((all_val, all_doc))
-            all_doc = all_doc[order]
-            all_val = all_val[order]
-            if all_val.size:
-                keep = np.empty(all_val.size, dtype=bool)
-                keep[0] = True
-                np.not_equal(all_val[1:], all_val[:-1], out=keep[1:])
-                keep[1:] |= all_doc[1:] != all_doc[:-1]
-                all_doc = all_doc[keep]
-                all_val = all_val[keep]
-            counts = np.bincount(all_doc, minlength=n)
-            sh_offs = np.zeros(n + 1, dtype=np.int64)
-            np.cumsum(counts, out=sh_offs[1:])
-            # 4. signatures over the deduped flat shingle hashes
-            mh, sim = _sig_from_flat(
-                all_val.astype(np.uint64), sh_offs, num_perm, a, b
-            )
-            out_sh = pa.ListArray.from_arrays(
-                pa.array(sh_offs, type=pa.int32()),
-                pa.array(all_val, type=pa.int64()),
-            )
-            mh_list = pa.ListArray.from_arrays(
-                pa.array(
-                    np.arange(n + 1, dtype=np.int64) * num_perm, type=pa.int32()
-                ),
-                pa.array(mh.ravel(), type=pa.int64()),
-            )
-            cols = [ids, out_sh, mh_list, pa.array(sim, type=pa.int64())]
-            names = ["id", "shingle_hashes", "minhash", "simhash"]
-            if n_bands:
-                mh_u = mh.view(np.uint64)  # values < 2^63: same bits
-                bh = np.empty((n, n_bands), dtype=np.uint64)
-                for j in range(n_bands):
-                    s = j * rows_per_band
-                    acc = np.zeros(n, dtype=np.uint64)
-                    for i in range(rows_per_band):
-                        acc += mh_u[:, s + i] * band_w[s + i]
-                    bh[:, j] = _fmix64(acc)
-                nonempty_doc = (sh_offs[1:] - sh_offs[:-1]) > 0
-                b_counts = np.where(nonempty_doc, n_bands, 0)
-                b_offs = np.zeros(n + 1, dtype=np.int64)
-                np.cumsum(b_counts, out=b_offs[1:])
-                cols.append(
-                    pa.ListArray.from_arrays(
-                        pa.array(b_offs, type=pa.int32()),
-                        pa.array(
-                            bh[nonempty_doc].ravel().astype(np.int64),
-                            type=pa.int64(),
-                        ),
-                    )
-                )
-                names.append("bands")
-            yield pa.RecordBatch.from_arrays(cols, names=names)
+            yield siggen.batch_from_token_hashes(ids, z, d_start)
 
-    id_type = tokens.select(F.col(id_col).alias("id")).schema[0].dataType.simpleString()
+    schema = _sig_schema(tokens, id_col, n_bands)
+    return tokens.select(
+        F.col(id_col).alias("id"), F.col(tokens_col).alias("tokens")
+    ).mapInArrow(_batches, schema)
+
+
+def _sig_schema(df: DataFrame, id_col: str, n_bands: int | None) -> str:
+    id_type = df.select(F.col(id_col).alias("id")).schema[0].dataType.simpleString()
     schema = (
         f"id {id_type}, shingle_hashes array<bigint>, "
         "minhash array<bigint>, simhash bigint"
     )
     if n_bands:
         schema += ", bands array<bigint>"
-    return tokens.select(
-        F.col(id_col).alias("id"), F.col(tokens_col).alias("tokens")
+    return schema
+
+
+class _SignatureGen:
+    """Shared tail of the fused signature kernels: token hashes ->
+    shingle hashes -> per-doc dedup -> MinHash/SimHash/band hashes ->
+    output RecordBatch."""
+
+    def __init__(self, k: int, num_perm: int, seed: int, n_bands: int | None):
+        self.k = k
+        self.num_perm = num_perm
+        self.n_bands = n_bands
+        self.a, self.b = _minhash_params(num_perm, seed)
+        self.tok_poly = _PolyPrefix(_TOK_BASE)
+        self.shg_poly = _PolyPrefix(_SHG_BASE)
+        if n_bands:
+            self.rows_per_band = num_perm // n_bands
+            self.band_w = (
+                np.random.default_rng(seed + 7).integers(
+                    0, 1 << 62, size=num_perm, dtype=np.uint64
+                )
+                * 2
+                + 1
+            )
+
+    def batch_from_token_hashes(self, ids, z: np.ndarray, d_start: np.ndarray):
+        """ids: arrow array (n); z: uint64 token hashes (flat); d_start:
+        int64 (n+1) per-doc offsets into z."""
+        import pyarrow as pa
+
+        k, num_perm = self.k, self.num_perm
+        n = d_start.size - 1
+        d_len = d_start[1:] - d_start[:-1]
+        T2 = self.shg_poly.prefix(z)
+        n_tok = z.size
+        # full k-windows (docs with >= k tokens)
+        if n_tok >= k:
+            w = np.arange(n_tok - k + 1, dtype=np.int64)
+            doc_of_w = np.searchsorted(d_start[:-1], w, side="right") - 1
+            ok = w + k <= d_start[doc_of_w] + d_len[doc_of_w]
+            w = w[ok]
+            doc_of_w = doc_of_w[ok]
+        else:
+            w = np.empty(0, dtype=np.int64)
+            doc_of_w = w
+        wh = _fmix64(self.shg_poly.slice_hash(T2, w, w + k))
+        # short docs (0 < len < k): one whole-doc shingle
+        short = np.flatnonzero((d_len > 0) & (d_len < k))
+        sh_short = _fmix64(
+            self.shg_poly.slice_hash(
+                T2, d_start[short], d_start[short] + d_len[short]
+            )
+        )
+        # per-doc sort + dedup (set semantics for exact Jaccard)
+        all_doc = np.concatenate([doc_of_w, short])
+        all_val = np.concatenate([wh, sh_short]).astype(np.int64)
+        order = np.lexsort((all_val, all_doc))
+        all_doc = all_doc[order]
+        all_val = all_val[order]
+        if all_val.size:
+            keep = np.empty(all_val.size, dtype=bool)
+            keep[0] = True
+            np.not_equal(all_val[1:], all_val[:-1], out=keep[1:])
+            keep[1:] |= all_doc[1:] != all_doc[:-1]
+            all_doc = all_doc[keep]
+            all_val = all_val[keep]
+        counts = np.bincount(all_doc, minlength=n)
+        sh_offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=sh_offs[1:])
+        # signatures over the deduped flat shingle hashes
+        mh, sim = _sig_from_flat(
+            all_val.astype(np.uint64), sh_offs, num_perm, self.a, self.b
+        )
+        out_sh = pa.ListArray.from_arrays(
+            pa.array(sh_offs, type=pa.int32()),
+            pa.array(all_val, type=pa.int64()),
+        )
+        mh_list = pa.ListArray.from_arrays(
+            pa.array(
+                np.arange(n + 1, dtype=np.int64) * num_perm, type=pa.int32()
+            ),
+            pa.array(mh.ravel(), type=pa.int64()),
+        )
+        cols = [ids, out_sh, mh_list, pa.array(sim, type=pa.int64())]
+        names = ["id", "shingle_hashes", "minhash", "simhash"]
+        if self.n_bands:
+            n_bands, rows_per_band = self.n_bands, self.rows_per_band
+            mh_u = mh.view(np.uint64)  # values < 2^63: same bits
+            bh = np.empty((n, n_bands), dtype=np.uint64)
+            for j in range(n_bands):
+                s = j * rows_per_band
+                acc = np.zeros(n, dtype=np.uint64)
+                for i in range(rows_per_band):
+                    acc += mh_u[:, s + i] * self.band_w[s + i]
+                bh[:, j] = _fmix64(acc)
+            nonempty_doc = (sh_offs[1:] - sh_offs[:-1]) > 0
+            b_counts = np.where(nonempty_doc, n_bands, 0)
+            b_offs = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(b_counts, out=b_offs[1:])
+            cols.append(
+                pa.ListArray.from_arrays(
+                    pa.array(b_offs, type=pa.int32()),
+                    pa.array(
+                        bh[nonempty_doc].ravel().astype(np.int64),
+                        type=pa.int64(),
+                    ),
+                )
+            )
+            names.append("bands")
+        return pa.RecordBatch.from_arrays(cols, names=names)
+
+
+# byte-class table for the ASCII fast-path tokenizer: word bytes are
+# [a-z0-9_'] (input is lowercased first) plus EVERY byte >= 0x80 — all
+# non-ASCII codepoints count as word characters. Exact for ASCII text
+# vs the engine tokenizer regexp (?U)[\w'’]+ (U+2019 is >= 0x80);
+# differs only on non-ASCII *punctuation*, which \w excludes.
+_WORD_BYTE = np.zeros(256, dtype=bool)
+for _c in range(ord("a"), ord("z") + 1):
+    _WORD_BYTE[_c] = True
+for _c in range(ord("0"), ord("9") + 1):
+    _WORD_BYTE[_c] = True
+_WORD_BYTE[ord("_")] = True
+_WORD_BYTE[ord("'")] = True
+_WORD_BYTE[0x80:] = True
+
+
+def text_to_signatures(
+    docs: DataFrame,
+    k: int = 5,
+    num_perm: int = 128,
+    seed: int = 1337,
+    id_col: str = "id",
+    text_col: str = "text",
+    n_bands: int | None = None,
+) -> DataFrame:
+    """(id, shingle_hashes, minhash, simhash[, bands]) straight from raw
+    text — tokenization included in the Arrow kernel.
+
+    Same output contract and hash values as
+    ``normalized_tokens -> tokens_to_signatures`` wherever the byte
+    tokenizer agrees with the regexp tokenizer (always, for ASCII text;
+    see ``_WORD_BYTE``), but the 10-100x larger token-string relation
+    never exists: no JVM regexp garbage, no per-token Arrow
+    serialization — the kernel reads the utf8 data buffer zero-copy,
+    lowercases ASCII in one vectorized pass and finds token runs with
+    boolean-mask shifts.
+    """
+    siggen = _SignatureGen(k, num_perm, seed, n_bands)
+
+    def _batches(it):
+        import pyarrow as pa
+
+        for rb in it:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            ids = rb.column(0)
+            txt = rb.column(1)
+            off_dtype = (
+                np.int64 if pa.types.is_large_string(txt.type) else np.int32
+            )
+            to_raw = np.frombuffer(txt.buffers()[1], dtype=off_dtype)
+            t_off = to_raw[txt.offset : txt.offset + n + 1].astype(np.int64)
+            data = np.frombuffer(txt.buffers()[2], dtype=np.uint8)
+            b0, b1 = int(t_off[0]), int(t_off[-1])
+            if b1 == b0:  # every doc empty/null
+                yield siggen.batch_from_token_hashes(
+                    ids,
+                    np.empty(0, dtype=np.uint64),
+                    np.zeros(n + 1, dtype=np.int64),
+                )
+                continue
+            buf = data[b0:b1].copy()
+            # ASCII lowercase in place
+            upper = (buf >= 65) & (buf <= 90)
+            buf[upper] |= 0x20
+            wordish = _WORD_BYTE[buf]
+            # token runs, broken at doc boundaries
+            prev = np.empty_like(wordish)
+            prev[0] = False
+            prev[1:] = wordish[:-1]
+            nxt = np.empty_like(wordish)
+            nxt[-1] = False
+            nxt[:-1] = wordish[1:]
+            bounds = t_off - b0  # doc start byte positions (and total end)
+            inner = bounds[(bounds > 0) & (bounds < buf.size)]
+            prev[inner] = False  # a token never spans two documents
+            nxt[inner - 1] = False
+            tok_starts = np.flatnonzero(wordish & ~prev)
+            tok_ends = np.flatnonzero(wordish & ~nxt) + 1
+            # token hashes (identical formula to tokens_to_signatures)
+            T1 = siggen.tok_poly.prefix(buf)
+            z = siggen.tok_poly.slice_hash(T1, tok_starts, tok_ends)
+            z ^= (tok_ends - tok_starts).astype(np.uint64) << np.uint64(1)
+            z = _fmix64(z)
+            # per-doc token offsets
+            d_start = np.searchsorted(tok_starts, bounds, side="left")
+            yield siggen.batch_from_token_hashes(ids, z, d_start)
+
+    schema = _sig_schema(docs, id_col, n_bands)
+    return docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
     ).mapInArrow(_batches, schema)
 
 
@@ -536,16 +658,15 @@ def _bucket_pairs(
     member pair of each bucket with 1 < size <= max_bucket_size.
 
     Shape chosen for 100 TB: ONE hash shuffle on the bucket key feeds a
-    window count (drops monster buckets BEFORE anything is collected),
-    then a same-key groupBy (partitioning + sort already satisfied -> no
-    second exchange) collects the capped member list and explodes the
-    i<j combinations. No bucket-size side relation, no self-join — the
-    join-based formulation tempts AQE into broadcasting a corpus-scale
-    per-key count table, which serializes on the driver (and on a real
-    cluster would ship the whole thing to every executor).
+    window count that drops monster buckets BEFORE anything else happens
+    (no bucket-size side relation — a joined count table tempts AQE into
+    broadcasting a corpus-scale relation, which serializes on the driver
+    and on a real cluster would ship the whole thing to every executor);
+    the capped survivors are materialized once and self-joined with a
+    codegen sort-merge join.
 
     ``member_col`` may be a string column name or a struct Column; pairs
-    are ordered by the struct's first field (ids sorted within bucket).
+    are ordered by the struct's first field.
     """
     member = F.col(member_col) if isinstance(member_col, str) else member_col
     w = Window.partitionBy(*bucket_cols)

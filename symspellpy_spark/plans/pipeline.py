@@ -56,7 +56,10 @@ class DedupConfig:
     jaccard_threshold: float = 0.7
     simhash_max_hamming: int = 3
     substring_gram_len: int = 40
-    substring_sample_mod: int = 8
+    # content-defined sampling rate: a shared substring of m chars is
+    # missed with (1-1/mod)^(m-gram_len+1) ~ 2e-7 at m=280 chars; halving
+    # the rate halves the dominant candidate-stage shuffle
+    substring_sample_mod: int = 16
     max_bucket_size: int = 1000
     normalize_tokens: bool = False
     normalize_min_count: int = 0  # only correct tokens rarer than this
@@ -156,7 +159,14 @@ class DedupPipeline:
         instead of a URL string (3-10x narrower candidate/edge shuffles;
         at 10^12 docs you would never shuffle URL strings). Collision
         odds at 10^12 docs are ~3e-2 pairs corpus-wide; urls are joined
-        back onto the final outputs from the (id, url) dimension."""
+        back onto the final outputs from the (id, url) dimension.
+
+        The projection drops ``html`` (usually the widest column) before
+        any stage logic; against the engine's real input (an
+        Iceberg/parquet pages table) Catalyst pushes this pruning into
+        the scan, so repeated consumers re-read only the url/text
+        columns.
+        """
         return pages.select(
             F.xxhash64(F.col("url")).alias("id"), "url", "text"
         )
@@ -210,15 +220,30 @@ class DedupPipeline:
         if cached is not None:
             self._memo["signatures"] = cached
             return cached
-        from symspellpy_spark.operators.dedup import tokens_to_signatures
-
-        sig = tokens_to_signatures(
-            self.tokens(pages),
-            k=self.config.shingle_k,
-            num_perm=self.config.num_perm,
-            seed=self.config.minhash_seed,
-            n_bands=self.config.bands,
+        from symspellpy_spark.operators.dedup import (
+            text_to_signatures,
+            tokens_to_signatures,
         )
+
+        if self.config.normalize_tokens and self.dictionary is not None:
+            # dictionary-corrected tokens exist as a real relation
+            sig = tokens_to_signatures(
+                self.tokens(pages),
+                k=self.config.shingle_k,
+                num_perm=self.config.num_perm,
+                seed=self.config.minhash_seed,
+                n_bands=self.config.bands,
+            )
+        else:
+            # common path: tokenize inside the signature kernel — the
+            # token-string relation (10-100x the text bytes) never exists
+            sig = text_to_signatures(
+                self._pages64(pages),
+                k=self.config.shingle_k,
+                num_perm=self.config.num_perm,
+                seed=self.config.minhash_seed,
+                n_bands=self.config.bands,
+            )
         if self.checkpoint_dir is None:
             sig = sig.localCheckpoint(eager=False)
         sig = self._save_ckpt("signatures", sig)
