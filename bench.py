@@ -98,6 +98,39 @@ def main() -> None:
     timed("sessionize", lambda: E.q_sessionize(spark, sf_dir).count())
     timed("tpch_q1", lambda: E.q_tpch_q1(spark, sf_dir).count())
 
+    # --- reference-comparable lookup workload: TOP correction of
+    # deterministic misspellings against the reference's shipped EN
+    # dictionary (its benchmark anchor is 107us/lookup single-threaded
+    # ~ 9.3k qps; we report batch qps at the same d=2/prefix=7 config) ---
+    en_dict = "/root/reference/symspellpy/frequency_dictionary_en_82_765.txt"
+    n_q = 0
+    if os.path.exists(en_dict):
+        from pyspark.sql import functions as F
+
+        from symspellpy_spark.config import Verbosity
+        from symspellpy_spark.operators.dictionary import SparkDictionary
+        from symspellpy_spark.operators.lookup import lookup_batch
+
+        d = SparkDictionary.load_dictionary(spark, en_dict).cache()
+        d.deletes.count()  # index build is timed separately above
+        queries = (
+            d.words.where(F.length("term") >= 6)
+            .orderBy(F.desc("count"))
+            .limit(50000)
+            .select(
+                F.concat(
+                    F.substring("term", 1, 2),
+                    F.expr("substring(term, 4, 2147483647)"),
+                ).alias("query")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_q = queries.count()
+        out = lookup_batch(queries, d, Verbosity.TOP)
+        timed("lookup_en_batch", lambda: out.count())
+        timings["lookup_en_qps"] = round(n_q / timings["lookup_en_batch"], 1)
+
     # --- flagship pipeline over a synthesized parquet pages table ---
     pages_path = os.path.join(scratch, f"pages_{n_pages}")
     shutil.rmtree(pages_path, ignore_errors=True)
