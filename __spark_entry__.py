@@ -428,6 +428,92 @@ def q_word_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_bigram_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S4/D1: adjacent-token bigram frequency table (the `_bigrams`
+    analogue, reference symspellpy.py:1070-1108): zip_with over the
+    token array keeps pair formation JVM-side; one groupBy shuffle."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0).alias("ts")
+    ).where(F.size("ts") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("ts", 1, F.size("ts") - 1),
+                F.slice("ts", 2, F.size("ts") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram")
+    )
+    return pairs.groupBy("bigram").agg(F.count("*").alias("count"))
+
+
+def q_acronym_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4 is_acronym (both variants) over cased part-catalog tokens
+    (reference helpers.py:153-168). Word-char-only tokens make the
+    unanchored rlike and the reference's anchored re.match coincide."""
+    part = _read(spark, sf_dir, "part")
+    toks = part.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.concat_ws(" ", "p_brand", "p_type"), F.lit("[A-Za-z0-9]+"), 0
+            )
+        ).alias("token")
+    ).distinct()
+    from symspellpy_spark.functions.text import is_acronym_expr
+
+    return toks.select(
+        "token",
+        is_acronym_expr(F.col("token")).cast("int").alias("is_acronym"),
+        is_acronym_expr(F.col("token"), contain_digits=True)
+        .cast("int")
+        .alias("is_acronym_digits"),
+    )
+
+
+def q_lookup_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 to_similarity = 1 - distance/length over TOP lookup results
+    (reference helpers.py:253-265); single IEEE division of exact ints."""
+    top = q_lookup_top(spark, sf_dir)
+    return top.select(
+        "query",
+        "term",
+        (
+            F.lit(1.0)
+            - F.col("distance").cast("double") / F.length("term").cast("double")
+        ).alias("similarity"),
+    )
+
+
+def q_delete_entry_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 delete_dictionary_entry (reference symspellpy.py:258-282):
+    remove the 5 most frequent terms from the vocabulary and drop their
+    rows from the delete index via a broadcast anti-join — the
+    set-at-a-time analogue of per-bucket list removal."""
+    docs = _read(spark, sf_dir, "documents")
+    vocab = _vocab(docs).where(F.col("count") >= 3)
+    from pyspark.sql import Window
+
+    ranked = vocab.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.desc("count"), F.asc("term")))
+    )
+    deleted = ranked.where(F.col("rn") <= 5).select("term")
+    cfg = EngineConfig(max_dictionary_edit_distance=1, prefix_length=7)
+    full = delete_neighborhood(vocab.select("term"), cfg).select("term", "delete_key")
+    return full.join(F.broadcast(deleted), "term", "left_anti")
+
+
+def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: JSON path over the events props
+    column (JVM-side get_json_object; no reference analogue — engine
+    breadth for web-scale metadata columns)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+    )
+
+
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (brute force, exact)."""
     emb = _read(spark, sf_dir, "embeddings")
@@ -515,6 +601,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compound_correct": q_compound_correct,
         "word_segmentation": q_word_segmentation,
         "embedding_dup_pairs": q_embedding_dup_pairs,
+        "bigram_build": q_bigram_build,
+        "acronym_tokens": q_acronym_tokens,
+        "lookup_similarity": q_lookup_similarity,
+        "delete_entry_maintenance": q_delete_entry_maintenance,
+        "props_extract": q_props_extract,
         "token_count": q_token_count,
         "doc_fingerprints": q_doc_fingerprints,
         "shingle_count": q_shingle_count,
@@ -714,6 +805,58 @@ def oracle_sql() -> dict[str, str]:
     ),
     fp AS (SELECT doc_id, md5(substr(text, p, 24)) AS fingerprint FROM pos)
     SELECT DISTINCT doc_id, fingerprint FROM fp WHERE substr(fingerprint, 1, 1) = '0'""",
+        "bigram_build": f"""
+    WITH tok AS (
+        SELECT regexp_extract_all(lower(text), '{TOKEN_RE}') AS ts FROM documents
+    ),
+    pairs AS (
+        SELECT ts[i] || ' ' || ts[i+1] AS bigram
+        FROM (SELECT ts, unnest(range(1, len(ts))) AS i
+              FROM tok WHERE len(ts) >= 2)
+    )
+    SELECT bigram, CAST(count(*) AS BIGINT) AS count FROM pairs GROUP BY bigram""",
+        "acronym_tokens": r"""
+    WITH toks AS (
+        SELECT DISTINCT unnest(
+            regexp_extract_all(p_brand || ' ' || p_type, '[A-Za-z0-9]+')
+        ) AS token
+        FROM part
+    )
+    SELECT token,
+           CAST(regexp_matches(token, '\b[A-Z0-9]{2,}\b') AS INTEGER) AS is_acronym,
+           CAST(regexp_matches(token, '\b[A-Z0-9]{2,}\b')
+                OR regexp_matches(token, '\d') AS INTEGER) AS is_acronym_digits
+    FROM toks""",
+        "lookup_similarity": lookup_base.format(d=2)
+        + """
+    SELECT query, term,
+           1.0 - CAST(distance AS DOUBLE) / length(term) AS similarity
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query ORDER BY distance, count DESC, term
+        ) AS rn FROM cand
+    ) WHERE rn = 1""",
+        "delete_entry_maintenance": _ORACLE_VOCAB
+        + """,
+    ranked AS (
+        SELECT term, row_number() OVER (ORDER BY count DESC, term) AS rn
+        FROM vocab WHERE count >= 3
+    ),
+    keep AS (SELECT term FROM ranked WHERE rn > 5),
+    pref AS (SELECT term, substr(term, 1, 7) AS p FROM keep),
+    lvl1 AS (
+        SELECT term,
+               substr(p, 1, i - 1) || substr(p, i + 1, 2147483647) AS delete_key
+        FROM (SELECT term, p, unnest(range(1, length(p) + 1)) AS i FROM pref)
+    )
+    SELECT DISTINCT term, delete_key FROM (
+        SELECT term, p AS delete_key FROM pref
+        UNION ALL SELECT term, delete_key FROM lvl1
+        UNION ALL SELECT term, '' FROM keep WHERE length(term) <= 1
+    )""",
+        "props_extract": """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+    FROM events""",
         "tpch_q1": """
     SELECT l_returnflag, l_linestatus,
            CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
