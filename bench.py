@@ -113,22 +113,33 @@ def main() -> None:
 
         d = SparkDictionary.load_dictionary(spark, en_dict).cache()
         d.deletes.count()  # index build is timed separately above
+        # three deterministic typo variants (two deletions, one
+        # transposition) of every dictionary term >= 5 chars: ~222k
+        # distinct queries, large enough to amortize per-action plan /
+        # broadcast overheads the way a corpus-scale token batch would
+        allw = d.words.where(F.length("term") >= 5)
+        tail = lambda i: F.expr(f"substring(term, {i}, 2147483647)")  # noqa: E731
+        variants = [
+            F.concat(F.substring("term", 1, 1), tail(3)),
+            F.concat(F.substring("term", 1, 3), tail(5)),
+            F.concat(
+                F.substring("term", 1, 2),
+                F.substring("term", 4, 1),
+                F.substring("term", 3, 1),
+                tail(5),
+            ),
+        ]
         queries = (
-            d.words.where(F.length("term") >= 6)
-            .orderBy(F.desc("count"))
-            .limit(50000)
-            .select(
-                F.concat(
-                    F.substring("term", 1, 2),
-                    F.expr("substring(term, 4, 2147483647)"),
-                ).alias("query")
-            )
+            allw.select(variants[0].alias("query"))
+            .unionByName(allw.select(variants[1].alias("query")))
+            .unionByName(allw.select(variants[2].alias("query")))
             .distinct()
             .localCheckpoint(eager=True)
         )
         n_q = queries.count()
         out = lookup_batch(queries, d, Verbosity.TOP)
         timed("lookup_en_batch", lambda: out.count())
+        timings["lookup_en_queries"] = n_q
         timings["lookup_en_qps"] = round(n_q / timings["lookup_en_batch"], 1)
 
     # --- flagship pipeline over a synthesized parquet pages table ---
@@ -160,7 +171,8 @@ def main() -> None:
             best = cur
     timings.update(best)
 
-    total = round(sum(v for k, v in timings.items() if k != "docs_per_sec"), 3)
+    non_time = ("docs_per_sec", "lookup_en_qps", "lookup_en_queries")
+    total = round(sum(v for k, v in timings.items() if k not in non_time), 3)
     print(
         json.dumps(
             {

@@ -44,6 +44,21 @@ def single_deletes(df: DataFrame, key_col: str, out_col: str) -> DataFrame:
     )
 
 
+def _deletes_of(s):
+    """array<string> of all single-character deletions of string column
+    ``s`` (empty array for the empty string)."""
+    body = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.concat(
+            F.substr(s, F.lit(1), i - F.lit(1)),
+            F.substr(s, i + F.lit(1), F.length(s)),
+        ),
+    )
+    return F.when(F.length(s) > 0, body).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def delete_neighborhood(
     terms: DataFrame,
     config: EngineConfig,
@@ -51,9 +66,54 @@ def delete_neighborhood(
 ) -> DataFrame:
     """(term, delete_key) rows for the full delete neighborhood.
 
-    Output has one row per distinct (term, delete_key); carries through
-    every other column of ``terms``.
+    Output has one row per distinct (term, delete_key) — assuming
+    distinct input terms — and carries through every other column of
+    ``terms``.
+
+    The neighborhood is built as a per-row array expression
+    (``transform``/``flatten``/``array_distinct``) and exploded once:
+    dedup happens inside the row, so no shuffle and no Python boundary.
+    For pathological fanout (long prefixes at high edit distance) the
+    per-row array would get large; fall back to the union+distinct
+    relational path there.
     """
+    d = config.max_dictionary_edit_distance
+    p = config.prefix_length
+    fanout = 1
+    for i in range(d):
+        fanout *= max(p - i, 1)
+    if fanout > 20_000:
+        return _delete_neighborhood_relational(terms, config, term_col)
+
+    extra = [c for c in terms.columns if c != term_col]
+    prefix = F.substring(F.col(term_col), 1, p)
+
+    levels = [F.array(prefix)]
+    frontier = levels[0]
+    for _ in range(d):
+        frontier = F.flatten(F.transform(frontier, _deletes_of))
+        levels.append(frontier)
+
+    keys = F.concat(*levels)
+    # reference _edits_prefix:1063-1064 — explicit "" for short terms
+    # (also reachable via deletions; array_distinct collapses it)
+    keys = F.concat(
+        keys,
+        F.when(
+            F.length(F.col(term_col)) <= d, F.array(F.lit(""))
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    return terms.select(
+        term_col, *extra, F.explode(F.array_distinct(keys)).alias("delete_key")
+    )
+
+
+def _delete_neighborhood_relational(
+    terms: DataFrame,
+    config: EngineConfig,
+    term_col: str = "term",
+) -> DataFrame:
+    """Union+distinct fallback for very large per-term neighborhoods."""
     d = config.max_dictionary_edit_distance
     extra = [c for c in terms.columns if c != term_col]
 
@@ -72,8 +132,6 @@ def delete_neighborhood(
         levels.append(nxt)
         frontier = nxt
 
-    # reference _edits_prefix:1063-1064 — explicit "" for short terms
-    # (also reachable via deletions; distinct() collapses it)
     empty = prefixed.where(F.length(F.col(term_col)) <= d).select(
         term_col, *extra, F.lit("").alias("delete_key")
     )

@@ -29,7 +29,7 @@ from dataclasses import replace
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from symspellpy_spark.config import EngineConfig, Verbosity
+from symspellpy_spark.config import DistanceAlgorithm, EngineConfig, Verbosity
 from symspellpy_spark.functions.distance import distance_udf
 from symspellpy_spark.functions.text import case_transfer_similar_udf
 from symspellpy_spark.operators.deletes import delete_neighborhood
@@ -106,36 +106,131 @@ def lookup_batch(
             "inner",
         ).select("query", "term", F.lit(0).alias("distance"), "count")
     else:
-        # candidate keys: delete neighborhood of the query prefix up to
-        # depth max_edit_distance (symspellpy.py:444-450,613-622)
-        qcfg = replace(
-            cfg, max_dictionary_edit_distance=max_edit_distance
-        )
-        cand_keys = delete_neighborhood(
-            q.withColumnRenamed("phrase", "term"), qcfg
-        ).select(
-            "query", F.col("term").alias("phrase"), "delete_key"
-        )
+        # A term t with distance(q, t) = k <= d always shares a delete
+        # key reachable with <= k deletions on EACH side (every edit
+        # consumes at most one deletion per side; the reference's index
+        # depth guarantee, symspellpy.py:1038-1068). Two consequences:
+        # (a) index keys deeper than max_edit_distance can never witness
+        #     a real match -> filter them out before the join;
+        # (b) for TOP/CLOSEST a cheap depth<=1 pass finds EVERY term at
+        #     distance <= 1; only queries it leaves unresolved need the
+        #     full-depth join. This is the set-at-a-time analogue of the
+        #     reference's shrinking TOP bound (symspellpy.py:590-609) —
+        #     at corpus scale most tokens are correct or one edit off,
+        #     so the expensive deep join runs on a small remainder.
+        index_all = dictionary.deletes  # (delete_key, term, count)
+        key_depth = F.least(
+            F.length("term"), F.lit(cfg.prefix_length)
+        ) - F.length("delete_key")
 
-        index = dictionary.deletes  # (delete_key, term, count)
-        if broadcast_index:
-            index = F.broadcast(index)
-        cand = (
-            cand_keys.join(index, "delete_key", "inner")
-            .where(
-                F.abs(F.length("term") - F.length("phrase"))
-                <= F.lit(max_edit_distance)
+        def cand_pairs(
+            qdf: DataFrame, bound: int, idx: DataFrame, hint: str | None
+        ) -> DataFrame:
+            # candidate keys: delete neighborhood of the query prefix up
+            # to depth ``bound`` (symspellpy.py:444-450,613-622)
+            qcfg = replace(cfg, max_dictionary_edit_distance=bound)
+            keys = delete_neighborhood(
+                qdf.withColumnRenamed("phrase", "term"), qcfg
+            ).select("query", F.col("term").alias("phrase"), "delete_key")
+            if hint == "index":
+                idx = F.broadcast(idx)
+            elif hint == "keys":
+                keys = F.broadcast(keys)
+            return (
+                keys.join(idx, "delete_key", "inner")
+                .where(
+                    F.abs(F.length("term") - F.length("phrase"))
+                    <= F.lit(bound)
+                )
+                .select("query", "phrase", "term", "count")
+                .dropDuplicates(["query", "term"])
             )
-            .select("query", "phrase", "term", "count")
-            .dropDuplicates(["query", "term"])
-        )
 
-        dist = distance_udf(cfg.distance_algorithm, max_edit_distance)
-        matches = (
-            cand.withColumn("distance", dist(F.col("phrase"), F.col("term")))
-            .where(F.col("distance") >= 0)
-            .select("query", "term", F.col("distance").cast("int"), "count")
+        def verified(cand: DataFrame, bound: int) -> DataFrame:
+            """distance column within ``bound`` (rows above it dropped).
+
+            Levenshtein runs entirely JVM-side via the built-in banded
+            ``levenshtein(l, r, threshold)`` (same -1-above-threshold
+            convention as reference editdistance.py:88-100). Damerau-OSA
+            uses it as an exact prefilter: OSA == Levenshtein whenever
+            Levenshtein <= 1 (OSA only diverges when a transposition
+            saves edits, which needs lev >= 2), so only the lev>=2
+            remainder crosses the Arrow boundary into the numpy kernel.
+            """
+            lv = F.levenshtein(F.col("phrase"), F.col("term"), bound)
+            if cfg.distance_algorithm == DistanceAlgorithm.LEVENSHTEIN:
+                out = cand.withColumn("distance", lv).where(
+                    F.col("distance") >= 0
+                )
+            else:
+                withlv = cand.withColumn("__lv", lv)
+                easy = withlv.where(
+                    (F.col("__lv") >= 0) & (F.col("__lv") <= 1)
+                ).withColumn("distance", F.col("__lv"))
+                dist = distance_udf(cfg.distance_algorithm, bound)
+                hard = (
+                    withlv.where((F.col("__lv") < 0) | (F.col("__lv") > 1))
+                    .withColumn(
+                        "distance", dist(F.col("phrase"), F.col("term"))
+                    )
+                    .where(F.col("distance") >= 0)
+                )
+                out = easy.unionByName(hard)
+            return out.select(
+                "query", "term", F.col("distance").cast("int"), "count"
+            )
+
+        if max_edit_distance < cfg.max_dictionary_edit_distance:
+            index_all = index_all.where(key_depth <= max_edit_distance)
+
+        staged = (
+            verbosity in (Verbosity.TOP, Verbosity.CLOSEST)
+            and max_edit_distance >= 2
         )
+        if staged:
+            near = verified(
+                cand_pairs(
+                    q,
+                    1,
+                    dictionary.deletes.where(key_depth <= 1),
+                    "index" if broadcast_index else None,
+                ),
+                1,
+            )
+            # the shallow pass feeds BOTH the final union and (via the
+            # anti-join) the deep pass's probe side — persist it so the
+            # diamond computes once instead of once per consumer
+            near = near.persist()
+            unresolved = q.join(
+                near.select("query").distinct(), "query", "left_anti"
+            )
+            # the deep join's probe side is the unresolved remainder,
+            # usually a small fraction — broadcast IT rather than the
+            # full index, so the common near-empty case costs a token
+            # broadcast plus one scan of the cached index instead of a
+            # full-index broadcast build (or shuffle) per action. Callers
+            # with huge query sets AND huge remainders should pass
+            # broadcast_index=False, which defers to AQE entirely.
+            far = verified(
+                cand_pairs(
+                    unresolved,
+                    max_edit_distance,
+                    index_all,
+                    "keys" if broadcast_index else None,
+                ),
+                max_edit_distance,
+            )
+            matches = near.unionByName(far)
+        else:
+            matches = verified(
+                cand_pairs(
+                    q,
+                    max_edit_distance,
+                    index_all,
+                    "index" if broadcast_index else None,
+                ),
+                max_edit_distance,
+            )
 
         if verbosity == Verbosity.ALL:
             # Reference quirk (symspellpy.py:513-541): the suggestion_len==1
