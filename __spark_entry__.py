@@ -514,6 +514,17 @@ def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregation over lineitem (engine breadth:
+    grouping sets; subtotal rows carry NULL group keys on both engines)."""
+    li = _read(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(20,4)")  # noqa: E731
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+    )
+
+
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (brute force, exact)."""
     emb = _read(spark, sf_dir, "embeddings")
@@ -606,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lookup_similarity": q_lookup_similarity,
         "delete_entry_maintenance": q_delete_entry_maintenance,
         "props_extract": q_props_extract,
+        "revenue_rollup": q_revenue_rollup,
         "token_count": q_token_count,
         "doc_fingerprints": q_doc_fingerprints,
         "shingle_count": q_shingle_count,
@@ -857,6 +869,10 @@ def oracle_sql() -> dict[str, str]:
         "props_extract": """
     SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
     FROM events""",
+        "revenue_rollup": """
+    SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+           CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
         "tpch_q1": """
     SELECT l_returnflag, l_linestatus,
            CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
