@@ -167,3 +167,37 @@ def test_transfer_casing(spark, en_dict, ref_speller):
         # term parity modulo TOP tie-break
         if got[w][0] != ref[0].term:
             assert (got[w][1], got[w][2]) == (ref[0].distance, ref[0].count)
+
+
+def test_staged_boundary_mixed_batch(spark, small_dict):
+    """One batch mixing queries that resolve in the depth<=1 pre-pass,
+    queries only resolvable by the full-depth join, and unknowns — the
+    staged read path must agree with the unstaged semantics (reference
+    bound-shrinking changes cost, never results, symspellpy.py:590-609)."""
+    qdf = spark.createDataFrame(
+        [("steam",), ("steema",), ("steaxy",), ("zzzzzz",)], "query string"
+    )
+    got = {
+        (r["query"], r["term"], r["distance"], r["count"])
+        for r in lookup_batch(qdf, small_dict, Verbosity.TOP).collect()
+    }
+    # steam: exact (d=0, stage 1); steema: 'steem'+a is the only d=1 term
+    # (stage 1); steaxy: no d<=1 term, far path finds 'steam' at d=2
+    # (count 10 beats the other d=2 candidates); zzzzzz: no suggestion
+    assert got == {
+        ("steam", "steam", 0, 10),
+        ("steema", "steem", 1, 8),
+        ("steaxy", "steam", 2, 10),
+    }
+
+
+def test_staged_closest_crosses_stages(spark, small_dict):
+    """CLOSEST must return ALL terms at the minimal distance when that
+    distance is 1 — the stage-1 candidate set provably contains every
+    distance<=1 term, so none may be lost to the staging."""
+    qdf = spark.createDataFrame([("steamx",)], "query string")
+    rows = lookup_batch(qdf, small_dict, Verbosity.CLOSEST).collect()
+    assert {(r["term"], r["distance"]) for r in rows} == {
+        ("steam", 1), ("steama", 1), ("steamb", 1),
+        ("steamc", 1), ("steams", 1),
+    }
