@@ -1,0 +1,54 @@
+"""Physical-plan shape guards for the scale-critical properties.
+
+Timing regressions on a noisy VM are easy to miss; these assert the
+plan structure directly: the delete-neighborhood expansion must stay
+shuffle-free, filters must reach the parquet scan, and the staged
+lookup must not shuffle the dictionary index when it is broadcastable.
+"""
+
+from pyspark.sql import functions as F
+
+from symspellpy_spark.config import EngineConfig, Verbosity
+from symspellpy_spark.operators.deletes import delete_neighborhood
+from symspellpy_spark.operators.dictionary import SparkDictionary
+from symspellpy_spark.operators.lookup import lookup_batch
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_delete_neighborhood_is_shuffle_free(spark):
+    """The per-row array-expression neighborhood must not plan an
+    Exchange: at corpus scale it runs on every token of every document,
+    so a shuffle here multiplies the whole write path."""
+    terms = spark.createDataFrame(
+        [("spark",), ("flink",), ("beam",)], "term string"
+    )
+    plan = _physical(delete_neighborhood(terms, EngineConfig()))
+    assert "Exchange" not in plan, plan
+
+
+def test_parquet_filter_pushdown(spark):
+    """A filtered scan must push the predicate into the parquet reader
+    and prune columns (ReadSchema carries only what is selected)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = docs.where(F.col("doc_id") < 50).select("doc_id", "n_chars")
+    plan = _physical(df)
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,50)]" in plan, plan
+    assert "text" not in plan.split("ReadSchema")[1][:200], plan
+
+
+def test_staged_lookup_broadcasts_index(spark):
+    """With broadcast_index=True the shallow pass must plan a
+    BroadcastHashJoin on the index side — never a sort-merge shuffle of
+    the dictionary per query batch."""
+    words = spark.createDataFrame(
+        [("steam", 10), ("steem", 8)], "term string, count long"
+    )
+    d = SparkDictionary.from_words(spark, words)
+    q = spark.createDataFrame([("steems",)], "query string")
+    plan = _physical(lookup_batch(q, d, Verbosity.TOP))
+    assert "BroadcastHashJoin" in plan, plan
