@@ -514,6 +514,38 @@ def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_term_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (engine breadth): bigrams of 'en' documents
+    INTERSECT bigrams of 'es' documents, EXCEPT bigrams of the 'fr'
+    documents of a single source — bigram sets differ per slice, so
+    both set operators discriminate."""
+    docs = _read(spark, sf_dir, "documents")
+
+    def bigrams_of(cond) -> DataFrame:
+        toks = docs.where(cond).select(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(TOKEN_RE), 0
+            ).alias("ts")
+        ).where(F.size("ts") >= 2)
+        return toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("ts", 1, F.size("ts") - 1),
+                    F.slice("ts", 2, F.size("ts") - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("bigram")
+        ).distinct()
+
+    return (
+        bigrams_of(F.col("lang") == "en")
+        .intersect(bigrams_of(F.col("lang") == "es"))
+        .exceptAll(
+            bigrams_of((F.col("lang") == "fr") & (F.col("source") == "src0"))
+        )
+    )
+
+
 def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical ROLLUP aggregation over lineitem (engine breadth:
     grouping sets; subtotal rows carry NULL group keys on both engines)."""
@@ -618,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_entry_maintenance": q_delete_entry_maintenance,
         "props_extract": q_props_extract,
         "revenue_rollup": q_revenue_rollup,
+        "lang_term_overlap": q_lang_term_overlap,
         "token_count": q_token_count,
         "doc_fingerprints": q_doc_fingerprints,
         "shingle_count": q_shingle_count,
@@ -873,6 +906,22 @@ def oracle_sql() -> dict[str, str]:
     SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
            CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+        "lang_term_overlap": f"""
+    WITH tok AS (
+        SELECT lang, source,
+               regexp_extract_all(lower(text), '{TOKEN_RE}') AS ts
+        FROM documents
+    ),
+    bi AS (
+        SELECT lang, source, ts[i] || ' ' || ts[i+1] AS bigram
+        FROM (SELECT lang, source, ts, unnest(range(1, len(ts))) AS i
+              FROM tok WHERE len(ts) >= 2)
+    )
+    SELECT DISTINCT bigram FROM bi WHERE lang = 'en'
+    INTERSECT
+    SELECT DISTINCT bigram FROM bi WHERE lang = 'es'
+    EXCEPT
+    SELECT DISTINCT bigram FROM bi WHERE lang = 'fr' AND source = 'src0'""",
         "tpch_q1": """
     SELECT l_returnflag, l_linestatus,
            CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
