@@ -224,6 +224,67 @@ class SparkDictionary:
         with open(os.path.join(path, "properties.json"), "w") as fh:
             json.dump(props, fh)
 
+    def save_bucketed(self, table: str, buckets: int = 64) -> None:
+        """Persist the delete index as a Hive-style table bucketed and
+        sorted by ``delete_key``.
+
+        At broadcast-prohibitive dictionary sizes (web-scale vocab,
+        SURVEY.md §2.1 "Partition/bucket by delete_key"), a bucketed
+        index lets every lookup join sort-merge with NO exchange on the
+        index side — only the (much smaller) query-key side shuffles to
+        the bucket count. Words/properties ride along as plain tables.
+        """
+        (
+            self.deletes.write.mode("overwrite")
+            .bucketBy(buckets, "delete_key")
+            .sortBy("delete_key")
+            .format("parquet")
+            .saveAsTable(f"{table}_deletes")
+        )
+        self.words.write.mode("overwrite").format("parquet").saveAsTable(
+            f"{table}_words"
+        )
+        props = self.spark.createDataFrame(
+            [
+                (
+                    DATA_VERSION,
+                    self.config.max_dictionary_edit_distance,
+                    self.config.prefix_length,
+                    self.config.count_threshold,
+                )
+            ],
+            "data_version INT, max_dictionary_edit_distance INT, "
+            "prefix_length INT, count_threshold INT",
+        )
+        props.write.mode("overwrite").format("parquet").saveAsTable(
+            f"{table}_props"
+        )
+
+    @classmethod
+    def load_bucketed(
+        cls, spark: SparkSession, table: str
+    ) -> "SparkDictionary":
+        """Reload a ``save_bucketed`` dictionary; the deletes DataFrame
+        carries the bucket spec, so joins on ``delete_key`` skip the
+        index-side exchange."""
+        p = spark.table(f"{table}_props").collect()[0]
+        if p.data_version != DATA_VERSION:
+            raise ValueError(
+                f"incompatible data_version {p.data_version}, "
+                f"expected {DATA_VERSION}"
+            )
+        cfg = EngineConfig(
+            max_dictionary_edit_distance=p.max_dictionary_edit_distance,
+            prefix_length=p.prefix_length,
+            count_threshold=p.count_threshold,
+        )
+        return cls(
+            spark=spark,
+            config=cfg,
+            words=spark.table(f"{table}_words"),
+            deletes=spark.table(f"{table}_deletes"),
+        )
+
     @classmethod
     def load(
         cls, spark: SparkSession, path: str, config: EngineConfig | None = None

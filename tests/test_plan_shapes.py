@@ -52,3 +52,32 @@ def test_staged_lookup_broadcasts_index(spark):
     q = spark.createDataFrame([("steems",)], "query string")
     plan = _physical(lookup_batch(q, d, Verbosity.TOP))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bucketed_index_join_skips_index_exchange(spark, tmp_path):
+    """S7/S8 at-scale variant: a delete index saved bucketed+sorted by
+    delete_key must sort-merge-join with no Exchange on the index side
+    (only the query-key side shuffles) — the broadcast-free lookup plan
+    for dictionaries too large to broadcast."""
+    words = spark.createDataFrame(
+        [("steam", 10), ("steem", 8), ("steams", 5)], "term string, count long"
+    )
+    d = SparkDictionary.from_words(spark, words)
+    d.save_bucketed("ps_bucketed_dict", buckets=4)
+    try:
+        loaded = SparkDictionary.load_bucketed(spark, "ps_bucketed_dict")
+        assert loaded.config.prefix_length == d.config.prefix_length
+        q = spark.createDataFrame([("steems",), ("steamz",)], "query string")
+        out = lookup_batch(q, loaded, Verbosity.TOP, broadcast_index=False)
+        plan = _physical(out)
+        assert "SelectedBucketsCount" in plan, plan
+        # results identical to the broadcast path
+        got = {(r["query"], r["term"], r["distance"]) for r in out.collect()}
+        ref = {
+            (r["query"], r["term"], r["distance"])
+            for r in lookup_batch(q, d, Verbosity.TOP).collect()
+        }
+        assert got == ref
+    finally:
+        for t in ("deletes", "words", "props"):
+            spark.sql(f"DROP TABLE IF EXISTS ps_bucketed_dict_{t}")
