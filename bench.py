@@ -153,6 +153,48 @@ def main() -> None:
         timings["lookup_en_queries"] = n_q
         timings["lookup_en_qps"] = round(n_q / timings["lookup_en_batch"], 1)
 
+        # lookup_compound over 20k web-text-like docs (8 tokens, 1-in-8
+        # misspelled; reference anchor: 9.89 ms per 97-char sentence,
+        # i.e. ~101 docs/sec single-threaded)
+        from symspellpy_spark.operators.compound import lookup_compound_batch
+
+        pool = (
+            d.words.where(F.length("term") >= 6)
+            .orderBy(F.desc("count"))
+            .limit(16000)
+            .withColumn("rn", F.monotonically_increasing_id())
+        )
+        ctoks = pool.crossJoin(
+            spark.range(10).withColumnRenamed("id", "rep")
+        ).select(
+            F.when(
+                (F.col("rn") + F.col("rep")) % 8 == 0,
+                F.concat(
+                    F.substring("term", 1, 2),
+                    F.expr("substring(term, 4, 2147483647)"),
+                ),
+            )
+            .otherwise(F.col("term"))
+            .alias("w"),
+            ((F.col("rn") * 10 + F.col("rep")) % 20000)
+            .cast("long")
+            .alias("doc_id"),
+        )
+        cdocs = (
+            ctoks.groupBy("doc_id")
+            .agg(F.concat_ws(" ", F.collect_list("w")).alias("text"))
+            .localCheckpoint(eager=True)
+        )
+        n_c = cdocs.count()
+        timed(
+            "compound_en_batch",
+            lambda: lookup_compound_batch(cdocs, d, max_edit_distance=2).count(),
+        )
+        timings["compound_en_docs"] = n_c
+        timings["compound_en_docs_per_sec"] = round(
+            n_c / timings["compound_en_batch"], 1
+        )
+
     # --- flagship pipeline over a synthesized parquet pages table ---
     pages_path = os.path.join(scratch, f"pages_{n_pages}")
     shutil.rmtree(pages_path, ignore_errors=True)
@@ -182,7 +224,13 @@ def main() -> None:
             best = cur
     timings.update(best)
 
-    non_time = ("docs_per_sec", "lookup_en_qps", "lookup_en_queries")
+    non_time = (
+        "docs_per_sec",
+        "lookup_en_qps",
+        "lookup_en_queries",
+        "compound_en_docs",
+        "compound_en_docs_per_sec",
+    )
     total = round(sum(v for k, v in timings.items() if k not in non_time), 3)
     print(
         json.dumps(

@@ -120,10 +120,20 @@ def lookup_compound_batch(
     combo_strs = toks.where(F.col("combo").isNotNull()).select(
         F.col("combo").alias("query")
     )
-    # split halves only for tokens that can enter the split branch
-    split_src = toks.where(
-        F.col("term1").isNotNull() & (F.length("term1") > 1)
-    ).select("doc_id", "pos", "term1")
+    # split halves only for tokens that can enter the split branch:
+    # len > 1 AND no exact dictionary match — the fold accepts an exact
+    # match outright (reference symspellpy.py:745-748) and never reads
+    # splits for it, so in-vocabulary tokens (the overwhelming majority
+    # of web text) generate no split lookups at all
+    split_src = (
+        toks.where(F.col("term1").isNotNull() & (F.length("term1") > 1))
+        .join(
+            F.broadcast(dictionary.words.select(F.col("term").alias("term1"))),
+            "term1",
+            "left_anti",
+        )
+        .select("doc_id", "pos", "term1")
+    )
     split_rows = split_src.select(
         "doc_id",
         "pos",
@@ -155,6 +165,9 @@ def lookup_compound_batch(
         F.col("distance").alias("s_dist"),
         F.col("count").alias("s_count"),
     )
+    # the lookup table feeds FOUR joins (term, combo, part1, part2);
+    # persist so the staged lookup computes once, not once per consumer
+    lut = lut.persist()
 
     # ---- pre-join lookups back onto token / split rows ----
     toks = (
