@@ -195,6 +195,36 @@ def main() -> None:
             n_c / timings["compound_en_batch"], 1
         )
 
+        # word_segmentation at d=0 over 20k glued docs (reference
+        # anchor: 1.13 ms/op, ~885 docs/sec single-threaded)
+        from symspellpy_spark.operators.segmentation import (
+            word_segmentation_batch,
+        )
+
+        sdocs = (
+            pool.crossJoin(spark.range(10).withColumnRenamed("id", "rep"))
+            .select(
+                F.col("term").alias("w"),
+                ((F.col("rn") * 10 + F.col("rep")) % 20000)
+                .cast("long")
+                .alias("doc_id"),
+            )
+            .groupBy("doc_id")
+            .agg(F.concat_ws("", F.collect_list("w")).alias("text"))
+            .localCheckpoint(eager=True)
+        )
+        n_s = sdocs.count()
+        timed(
+            "segmentation_en_batch",
+            lambda: word_segmentation_batch(
+                sdocs, d, max_edit_distance=0
+            ).count(),
+        )
+        timings["segmentation_en_docs"] = n_s
+        timings["segmentation_en_docs_per_sec"] = round(
+            n_s / timings["segmentation_en_batch"], 1
+        )
+
     # --- flagship pipeline over a synthesized parquet pages table ---
     pages_path = os.path.join(scratch, f"pages_{n_pages}")
     shutil.rmtree(pages_path, ignore_errors=True)
@@ -230,6 +260,8 @@ def main() -> None:
         "lookup_en_queries",
         "compound_en_docs",
         "compound_en_docs_per_sec",
+        "segmentation_en_docs",
+        "segmentation_en_docs_per_sec",
     )
     total = round(sum(v for k, v in timings.items() if k not in non_time), 3)
     print(

@@ -53,7 +53,16 @@ def word_segmentation_batch(
     text_col: str = "text",
 ) -> DataFrame:
     """-> (doc_id, segmented_string, corrected_string, distance_sum,
-    log_prob_sum) — one row per document (the reference's Composition)."""
+    log_prob_sum) — one row per document (the reference's Composition).
+
+    At ``max_edit_distance=0`` every inner lookup is a plain membership
+    probe, so instead of exploding O(len * max_word_len) substring rows
+    into a join + shuffle, the words table is broadcast as a plain dict
+    into a ``mapInPandas`` kernel and the whole DP runs doc-local —
+    same results, no per-substring relation. The relational
+    hoisted-lookup path remains for fuzzy (d > 0) segmentation, where
+    the delete index is genuinely needed.
+    """
     cfg = dictionary.config
     if max_edit_distance is None:
         max_edit_distance = cfg.max_dictionary_edit_distance
@@ -61,6 +70,17 @@ def word_segmentation_batch(
         max_segmentation_word_length = dictionary.max_length
     n_const = float(cfg.corpus_n)
     max_word_len = max_segmentation_word_length
+
+    if max_edit_distance == 0:
+        return _segmentation_broadcast_d0(
+            docs,
+            dictionary,
+            max_word_len,
+            ignore_pattern,
+            n_const,
+            doc_col,
+            text_col,
+        )
 
     norm = nfkc_strip_hyphens_udf()
     docs = docs.select(
@@ -241,7 +261,10 @@ def word_segmentation_batch(
         "distance_sum int, log_prob_sum double"
     )
     result = scored.groupBy("doc_id").applyInPandas(fold, schema=out_schema)
+    return _with_empties(result, docs)
 
+
+def _with_empties(result: DataFrame, docs: DataFrame) -> DataFrame:
     # empty/whitespace-normalized-away phrases produce no part rows; the
     # reference raises on these — we return the empty Composition instead
     empties = docs.where(F.length("phrase") == 0).select(
@@ -252,3 +275,137 @@ def word_segmentation_batch(
         F.lit(0.0).alias("log_prob_sum"),
     )
     return result.unionByName(empties)
+
+
+def _segmentation_broadcast_d0(
+    docs: DataFrame,
+    dictionary: SparkDictionary,
+    max_word_len: int,
+    ignore_pattern: str | None,
+    n_const: float,
+    doc_col: str,
+    text_col: str,
+) -> DataFrame:
+    """d=0 fast path: broadcast words map + doc-local DP in mapInPandas.
+
+    Produces bit-identical results to the relational path: every scoring
+    expression below mirrors the Catalyst expression it replaces, and
+    the relax loop is the same code as ``fold``.
+    """
+    import re
+
+    words_map = {
+        r["term"]: r["count"] for r in dictionary.words.select("term", "count").collect()
+    }
+    bc = docs.sparkSession.sparkContext.broadcast(words_map)
+    ign = re.compile(f"^(?:{ignore_pattern})") if ignore_pattern is not None else None
+    punct = set(_string.punctuation)
+    log10_n = math.log10(n_const)
+    ws = re.compile(r"\s")
+
+    def segment_one(phrase: str) -> tuple[str, str, int, float]:
+        words = bc.value
+        n_j = len(phrase)
+        array_size = min(max_word_len, n_j)
+        comps = [("", "", 0, 0.0)] * array_size
+        idx = -1
+        for j in range(n_j):
+            imax = min(n_j - j, max_word_len)
+            for i in range(1, imax + 1):
+                raw_part = phrase[j : j + i]
+                lead = bool(ws.match(raw_part[:1]))
+                part1 = raw_part[1:] if lead else raw_part
+                separator_len = 0 if lead else 1
+                part = part1.replace(" ", "")
+                spaces_removed = len(part1) - len(part)
+                query = part.lower()
+                count = words.get(query)
+                if count is None and ign is not None and ign.match(query):
+                    s_term, s_count = query, 1
+                elif count is not None:
+                    s_term, s_count = query, count
+                else:
+                    s_term = None
+                if s_term is not None:
+                    if part[:1] != part[:1].lower():
+                        top_result = s_term[:1].upper() + s_term[1:].lower()
+                    else:
+                        top_result = s_term
+                    top_ed = spaces_removed
+                    top_log_prob = math.log10(float(s_count) / n_const)
+                else:
+                    top_result = part
+                    top_ed = spaces_removed + len(part)
+                    top_log_prob = 1.0 - log10_n - float(len(part))
+                dest = (i + idx) % array_size
+                if j == 0:
+                    comps[dest] = (part, top_result, top_ed, top_log_prob)
+                elif (
+                    i == max_word_len
+                    or (
+                        comps[dest][2]
+                        in (
+                            comps[idx][2] + top_ed,
+                            comps[idx][2] + separator_len + top_ed,
+                        )
+                        and comps[dest][3] < comps[idx][3] + top_log_prob
+                    )
+                    or comps[idx][2] + separator_len + top_ed < comps[dest][2]
+                ):
+                    if (len(top_result) == 1 and top_result[0] in punct) or (
+                        len(top_result) == 2 and top_result.startswith("'")
+                    ):
+                        comps[dest] = (
+                            comps[idx][0] + part,
+                            comps[idx][1] + top_result,
+                            comps[idx][2] + top_ed,
+                            comps[idx][3] + top_log_prob,
+                        )
+                    else:
+                        comps[dest] = (
+                            comps[idx][0] + " " + part,
+                            comps[idx][1] + " " + top_result,
+                            comps[idx][2] + separator_len + top_ed,
+                            comps[idx][3] + top_log_prob,
+                        )
+            idx = (idx + 1) % array_size
+        return comps[idx]
+
+    norm = nfkc_strip_hyphens_udf()
+    prepped = docs.select(
+        F.col(doc_col).alias("doc_id"), norm(F.col(text_col)).alias("phrase")
+    )
+    doc_id_type = dict(prepped.dtypes)["doc_id"]
+    out_schema = (
+        f"doc_id {doc_id_type}, segmented_string string, corrected_string string, "
+        "distance_sum int, log_prob_sum double"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, phrase in zip(pdf["doc_id"], pdf["phrase"]):
+                if phrase is None or len(phrase) == 0:
+                    continue
+                seg, corr, dist, logp = segment_one(phrase)
+                out.append((doc_id, seg, corr, dist, logp))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "segmented_string",
+                    "corrected_string",
+                    "distance_sum",
+                    "log_prob_sum",
+                ],
+            )
+
+    live = prepped.where(F.length("phrase") > 0)
+    # the kernel is compute-bound (~1 ms/row vs ~100 B/row), so AQE's
+    # size-based coalescing would serialize it onto one task; pin a
+    # row-balanced partitioning when the input arrives under-partitioned
+    para = docs.sparkSession.sparkContext.defaultParallelism
+    if live.rdd.getNumPartitions() < para:
+        live = live.repartition(para * 2)
+    result = live.mapInPandas(run, schema=out_schema)
+    return _with_empties(result, prepped)

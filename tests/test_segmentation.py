@@ -85,3 +85,41 @@ def test_empty_doc(spark):
     got = run_batch(spark, d, ["", "-"])
     assert got[0]["corrected_string"] == ""
     assert got[1]["corrected_string"] == ""
+
+
+@pytest.mark.slow
+def test_live_parity_d0_fast_path(spark, en_dict2, reference_symspell_module):
+    """The broadcast-dict d=0 fast path must match the reference on all
+    four Composition fields, including casing, spaces, punctuation and
+    ignore_token handling."""
+    import re
+
+    from symspellpy import SymSpell
+
+    ref = SymSpell(2, 7)
+    ref.load_dictionary(DICT_PATH, 0, 1)
+    texts = [
+        "thequickbrownfoxjumpsoverthelazydog",
+        "Whatis thisthing called Love",
+        "it's theweather do n'tyou think",
+        "abc123def 24th ofdecember",
+    ]
+    got = run_batch(spark, en_dict2, texts, max_edit_distance=0)
+    for i, t in enumerate(texts):
+        exp = ref.word_segmentation(t, max_edit_distance=0)
+        r = got[i]
+        assert r["segmented_string"] == exp.segmented_string, t
+        assert r["corrected_string"] == exp.corrected_string, t
+        assert r["distance_sum"] == exp.distance_sum, t
+        assert abs(r["log_prob_sum"] - exp.log_prob_sum) < 1e-9, t
+    # ignore_token through the fast path
+    typo = "24th december"
+    exp = ref.word_segmentation(
+        typo, max_edit_distance=0, ignore_token=re.compile(r"\d{2}\w*\b")
+    )
+    got = run_batch(
+        spark, en_dict2, [typo], max_edit_distance=0,
+        ignore_pattern=r"\d{2}\w*\b",
+    )
+    assert got[0]["corrected_string"] == exp.corrected_string
+    assert got[0]["distance_sum"] == exp.distance_sum
