@@ -379,13 +379,23 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs + exact-Jaccard verify (scale path;
-    hash-family signatures -> no SQL oracle, rows-only check)."""
+    """MinHash-LSH candidates + exact-Jaccard verify, oracle-checked.
+
+    At threshold 0.9 the 32-band/4-row banding detects a qualifying
+    pair with probability 1 - (1 - 0.9^4)^32 ≈ 1 - 1e-15, and the
+    hashes are deterministic, so the LSH output equals the brute-force
+    J >= 0.9 pair set — a REAL oracle check of the banding machinery
+    (a broken minhash or band join loses pairs and fails row count)."""
     docs = _read(spark, sf_dir, "documents")
-    toks = normalized_tokens(docs, id_col="doc_id", text_col="text")
+    toks = docs.select(
+        F.col("doc_id").alias("id"),
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0).alias(
+            "tokens"
+        ),
+    ).where(F.size("tokens") >= 3)
     sig = minhash_signatures(shingles(toks, k=3))
     cand = lsh_candidate_pairs(sig, bands=32, num_perm=128)
-    return jaccard_verify(cand, sig, threshold=JACCARD_T).select(
+    return jaccard_verify(cand, sig, threshold=0.9).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard"
     )
 
@@ -719,6 +729,9 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _ORACLE_GRAMS
         + f"""
     SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {JACCARD_T}""",
+        "minhash_lsh_pairs": _ORACLE_GRAMS
+        + """
+    SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.9""",
         "dedup_clusters": "\n    WITH RECURSIVE "
         + _ORACLE_GRAMS_BODY
         + f""",
