@@ -22,7 +22,12 @@ from symspellpy_spark.operators.dedup import (
     simhash_signatures,
 )
 
-__all__ = ["stream_signatures", "streaming_exact_dedup", "run_incremental_lsh"]
+__all__ = [
+    "stream_signatures",
+    "streaming_exact_dedup",
+    "run_incremental_lsh",
+    "streaming_simhash_pairs",
+]
 
 
 def stream_signatures(
@@ -56,6 +61,93 @@ def streaming_exact_dedup(
             F.min("url").alias("first_url"),
             F.count("*").alias("n_seen"),
         )
+    )
+
+
+def streaming_simhash_pairs(
+    pages_stream: DataFrame,
+    max_hamming: int = 8,
+    n_blocks: int | None = None,
+    max_bucket_size: int = 512,
+    id_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    continuous SimHash near-dup pair detection against the stream's own
+    history.
+
+    Each SimHash bit-block bucket keeps the (id, simhash) pairs it has
+    seen as group state; every arriving document is compared against
+    that state and emits ``(id_a, id_b, hamming)`` rows for pairs inside
+    the Hamming ball. Pigeonhole guarantee as in the batch operator
+    (``simhash_candidate_pairs``): with ``n_blocks > max_hamming``
+    blocks, any qualifying pair shares at least one intact block, so no
+    pair is missed while both endpoints' buckets are under
+    ``max_bucket_size`` (beyond it the bucket stops growing — the
+    streaming analogue of the batch cap). A pair sharing several intact
+    blocks is emitted once per such block; dedupe downstream if exact
+    multiplicity matters.
+    """
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    width = 64 // n_blocks
+    mask = (1 << width) - 1 if width < 64 else -1
+
+    toks = normalized_tokens(pages_stream, id_col=id_col, text_col=text_col)
+    sig = simhash_signatures(toks).select("id", "simhash")
+    blocks = [
+        F.struct(
+            F.lit(i).alias("block_id"),
+            F.shiftrightunsigned(F.col("simhash"), i * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("block_value"),
+        )
+        for i in range(n_blocks)
+    ]
+    exploded = sig.select(
+        "id", "simhash", F.explode(F.array(*blocks)).alias("b")
+    ).select(
+        "id",
+        "simhash",
+        F.col("b.block_id").alias("block_id"),
+        F.col("b.block_value").alias("block_value"),
+    )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    u64 = (1 << 64) - 1
+
+    def detect(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            ids, sims = state.get
+            ids, sims = list(ids), list(sims)
+        else:
+            ids, sims = [], []
+        out = []
+        for pdf in pdfs:
+            for doc_id, sh in zip(pdf["id"], pdf["simhash"]):
+                sh_i = int(sh)
+                for prev_id, prev_sh in zip(ids, sims):
+                    if prev_id == doc_id:
+                        continue
+                    hd = ((sh_i ^ int(prev_sh)) & u64).bit_count()
+                    if hd <= max_hamming:
+                        a, b = sorted((doc_id, prev_id))
+                        out.append((a, b, hd))
+                if len(ids) < max_bucket_size:
+                    ids.append(doc_id)
+                    sims.append(sh_i)
+        state.update((ids, sims))
+        yield pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
+
+    return exploded.groupBy("block_id", "block_value").applyInPandasWithState(
+        detect,
+        outputStructType="id_a string, id_b string, hamming int",
+        stateStructType="ids array<string>, sims array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

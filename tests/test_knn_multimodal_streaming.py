@@ -164,3 +164,53 @@ def test_streaming_signatures_and_exact_dedup(spark, tmp_path):
     dup_q.stop()
     n = spark.sql("SELECT sum(n_seen) AS s FROM dups").first()["s"]
     assert n == 100
+
+
+def test_streaming_simhash_pairs_stateful(spark, tmp_path):
+    """applyInPandasWithState near-dup stream: pairs found across
+    micro-batches must match the batch SimHash operator's pair set."""
+    from symspellpy_spark.operators.dedup import (
+        normalized_tokens,
+        simhash_candidate_pairs,
+        simhash_signatures,
+    )
+    from symspellpy_spark.sources.pages import synthesize_pages
+    from symspellpy_spark.streaming.stream_dedup import streaming_simhash_pairs
+
+    src = str(tmp_path / "sim_stream_src")
+    pages = synthesize_pages(spark, n_docs=120, n_base=30, seed=11)
+    # two disjoint halves -> multiple micro-batches with
+    # maxFilesPerTrigger=1, so cross-batch state is genuinely exercised
+    pages.where(F.crc32(F.col("url")) % 2 == 0).write.mode(
+        "overwrite"
+    ).parquet(src + "/p1")
+    pages.where(F.crc32(F.col("url")) % 2 == 1).write.mode(
+        "overwrite"
+    ).parquet(src + "/p2")
+    schema = spark.read.parquet(src + "/p1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        streaming_simhash_pairs(stream, max_hamming=8)
+        .writeStream.format("memory")
+        .queryName("sim_pairs")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.sql("SELECT id_a, id_b FROM sim_pairs").collect()
+    }
+
+    toks = normalized_tokens(pages, id_col="url", text_col="text")
+    sig = simhash_signatures(toks).select("id", "simhash")
+    exp = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in simhash_candidate_pairs(sig, max_hamming=8).collect()
+    }
+    assert got == exp and len(exp) > 0
