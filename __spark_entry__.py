@@ -807,9 +807,11 @@ def oracle_sql() -> dict[str, str]:
         FROM lagd
     ),
     sess AS (
-        SELECT *, sum(new_s) OVER (
+        -- DuckDB's windowed sum over INTEGER yields HUGEINT; Spark yields
+        -- BIGINT. The driver's value-hash is type-sensitive, so cast.
+        SELECT *, CAST(sum(new_s) OVER (
             PARTITION BY user_id ORDER BY ts_s, event_id ROWS UNBOUNDED PRECEDING
-        ) AS session_idx FROM flagged
+        ) AS BIGINT) AS session_idx FROM flagged
     )
     SELECT user_id, session_idx, count(*) AS n_events,
            min(ts_s) AS start_s, max(ts_s) AS end_s

@@ -42,6 +42,36 @@ def _norm_cell(v):
     return str(v)
 
 
+# Arrow type aliases that are NOT meaningful engine differences (physical
+# string encodings); everything else (e.g. DuckDB HUGEINT -> decimal128
+# vs Spark BIGINT -> int64) must match exactly — the driver's value-hash
+# is type-sensitive and a loose comparison here hides real gate failures.
+_TYPE_ALIASES = {
+    "large_string": "string",
+    "string_view": "string",
+    "large_binary": "binary",
+}
+
+
+def _norm_type(t) -> str:
+    import pyarrow as pa
+
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_norm_type(t.value_type)}>"
+    s = str(t)
+    return _TYPE_ALIASES.get(s, s)
+
+
+def _spark_arrow_types(sdf) -> dict:
+    tbl = sdf.limit(0).toArrow()
+    return {f.name.lower(): _norm_type(f.type) for f in tbl.schema}
+
+
+def _duck_arrow_types(con, sql) -> dict:
+    tbl = con.execute(f"SELECT * FROM ({sql}) LIMIT 0").arrow()
+    return {f.name.lower(): _norm_type(f.type) for f in tbl.schema}
+
+
 def _normalize(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -75,6 +105,9 @@ def test_query_matches_oracle(spark, duck, name):
         scols,
         ocols,
     )
+    stypes = _spark_arrow_types(sdf)
+    otypes = _duck_arrow_types(duck, oracle)
+    assert stypes == otypes, (name, stypes, otypes)
     assert len(srows) == len(orows), (name, len(srows), len(orows))
     got = _normalize(srows, scols)
     exp = _normalize(orows, ocols)
