@@ -21,7 +21,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from symspellpy_spark.config import DistanceAlgorithm, EngineConfig, Verbosity
+from symspellpy_spark.config import (
+    DEFAULT_CORPUS_N,
+    DistanceAlgorithm,
+    EngineConfig,
+    Verbosity,
+)
 from symspellpy_spark.operators.cluster import connected_components
 from symspellpy_spark.operators.compound import lookup_compound_batch
 from symspellpy_spark.operators.dedup import (
@@ -294,6 +299,32 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_DIM, _LSH_TABLES, _LSH_BITS, _LSH_SEED, _LSH_K = 64, 4, 8, 99, 5
+
+
+def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: hyperplane-LSH bucketed candidates + exact
+    cosine re-rank (operators/knn.py:109). Oracle-checked EXACTLY: the
+    fixed (seed, dim) hyperplanes are embedded as literals in the
+    oracle SQL, which replays sign-bucket assignment, the bucket
+    equi-join, and the re-rank — so a broken bucket id, candidate join,
+    or rank tie-break diverges. This is the plan a 100-TB corpus needs
+    (the brute-force cross join in embedding_topk is the baseline)."""
+    from symspellpy_spark.operators.knn import lsh_cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    return lsh_cosine_topk(
+        q,
+        emb,
+        dim=_LSH_DIM,
+        k=_LSH_K,
+        n_tables=_LSH_TABLES,
+        n_bits=_LSH_BITS,
+        seed=_LSH_SEED,
+    ).select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: token counts + length ratios per document."""
     docs = _read(spark, sf_dir, "documents")
@@ -411,8 +442,53 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_compound_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q3 lookup_compound over short noisy strings (per-doc fold;
-    rows-only check)."""
+    """Q3 lookup_compound on a deterministic slice, oracle-checked.
+
+    Input: first 8 tokens per doc, with ONLY token 0 misspelled (2nd
+    char dropped, len >= 5), and docs where glueing the misspelled
+    token 0 onto token 1 lands exactly in the vocabulary excluded. On
+    this slice the reference fold (symspellpy.py:639-865) provably
+    reduces to per-token TOP lookup + concat + naive-Bayes count chain:
+    the merge branch needs an exact combo hit (excluded by the filter;
+    with distance_1 = 1 it fires only at combi distance 0), and split
+    candidates always carry tmp_count = min(bigram_min, int(p1*p2/N)) =
+    0 < any real suggestion count, so they never displace the TOP
+    suggestion. A broken merge/split trigger, TOP tie-break, or count
+    chain in the fold diverges from the oracle."""
+    docs = _read(spark, sf_dir, "documents")
+    d = _dictionary(spark, sf_dir, DistanceAlgorithm.LEVENSHTEIN)
+    ts = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+    base = (
+        docs.where(F.col("doc_id") < 50)
+        .select("doc_id", ts.alias("ts"))
+        .where((F.size("ts") >= 8) & (F.length(F.element_at("ts", 1)) >= 5))
+        .select(
+            "doc_id",
+            F.concat(
+                F.substring(F.element_at("ts", 1), 1, 1),
+                F.expr("substring(element_at(ts, 1), 3, 2147483647)"),
+            ).alias("m0"),
+            F.slice("ts", 2, 7).alias("rest"),
+        )
+    )
+    eligible = base.join(
+        F.broadcast(d.words.select("term")),
+        F.concat(F.col("m0"), F.element_at("rest", 1)) == F.col("term"),
+        "left_anti",
+    )
+    noisy = eligible.select(
+        "doc_id",
+        F.concat(F.col("m0"), F.lit(" "), F.array_join("rest", " ")).alias("text"),
+    )
+    return lookup_compound_batch(noisy, d, max_edit_distance=2).select(
+        "doc_id", "term", "distance", "count"
+    )
+
+
+def q_compound_noisy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 lookup_compound over raw noisy substrings — exercises the
+    merge/split branches of the fold (rows-only check; live parity vs
+    the reference is in pytest)."""
     docs = _read(spark, sf_dir, "documents")
     d = _dictionary(spark, sf_dir, DistanceAlgorithm.DAMERAU_OSA)
     noisy = docs.where(F.col("doc_id") < 50).select(
@@ -423,15 +499,32 @@ def q_compound_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_word_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q4 word_segmentation over space-stripped prefixes (rows-only)."""
-    docs = _read(spark, sf_dir, "documents")
-    d = _dictionary(spark, sf_dir, DistanceAlgorithm.DAMERAU_OSA)
-    glued = docs.where(F.col("doc_id") < 50).select(
+def _glued_docs(docs: DataFrame) -> DataFrame:
+    return docs.where(F.col("doc_id") < 50).select(
         "doc_id",
         F.replace(F.substring("text", 1, 80), F.lit(" "), F.lit("")).alias("text"),
     )
-    return word_segmentation_batch(glued, d, max_edit_distance=1).select(
+
+
+def q_word_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 word_segmentation (d=0 broadcast-DP fast path) over
+    space-stripped prefixes — oracle-checked against a DuckDB
+    recursive-CTE prefix DP that replays the reference's triangular
+    relax loop (symspellpy.py:867-1015) including its separator-length
+    tie quirk and log-prob tie-breaking."""
+    docs = _read(spark, sf_dir, "documents")
+    d = _dictionary(spark, sf_dir, DistanceAlgorithm.DAMERAU_OSA)
+    return word_segmentation_batch(_glued_docs(docs), d, max_edit_distance=0).select(
+        "doc_id", "segmented_string", "corrected_string", "distance_sum"
+    )
+
+
+def q_word_segmentation_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 fuzzy (d=1) word_segmentation: hoisted-lookup relational path
+    (rows-only check; live parity vs the reference is in pytest)."""
+    docs = _read(spark, sf_dir, "documents")
+    d = _dictionary(spark, sf_dir, DistanceAlgorithm.DAMERAU_OSA)
+    return word_segmentation_batch(_glued_docs(docs), d, max_edit_distance=1).select(
         "doc_id", "segmented_string", "corrected_string", "distance_sum"
     )
 
@@ -645,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
         "embedding_topk": q_embedding_topk,
+        "lsh_cosine_topk": q_lsh_cosine_topk,
         "text_quality": q_text_quality,
         "langid": q_langid,
         "sessionize": q_sessionize,
@@ -652,7 +746,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "compound_correct": q_compound_correct,
+        "compound_noisy": q_compound_noisy,
         "word_segmentation": q_word_segmentation,
+        "word_segmentation_fuzzy": q_word_segmentation_fuzzy,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "bigram_build": q_bigram_build,
         "acronym_tokens": q_acronym_tokens,
@@ -668,6 +764,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ---------------------------------------------------------------- oracles
+
+
+def _lsh_cosine_topk_oracle() -> str:
+    """Exact SQL replication of lsh_cosine_topk (operators/knn.py:109):
+    the (seed, dim)-fixed hyperplanes are embedded as double literals
+    (repr round-trips IEEE doubles exactly), sign buckets and the
+    bucket equi-join are replayed relationally, then the exact-cosine
+    re-rank mirrors the embedding_topk oracle."""
+    import numpy as np
+
+    dim, nt, nb = _LSH_DIM, _LSH_TABLES, _LSH_BITS
+    c = nt * nb
+    planes = np.random.default_rng(_LSH_SEED).standard_normal((dim, c))
+    lit = "[" + ",".join(repr(float(w)) for w in planes.reshape(-1)) + "]"
+    return f"""
+    WITH pl AS (
+        SELECT i // {c} AS d, i % {c} AS c, flat[i + 1] AS w
+        FROM (SELECT {lit} AS flat), unnest(range(0, {dim * c})) AS t(i)
+    ),
+    proj AS (
+        SELECT v.vec_id, p.c, sum(CAST(v.embedding[p.d + 1] AS DOUBLE) * p.w) AS s
+        FROM embeddings v, pl p GROUP BY v.vec_id, p.c
+    ),
+    buckets AS (
+        SELECT vec_id,
+               (CAST(c // {nb} AS BIGINT) << {nb})
+               + sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << (c % {nb}))
+                          ELSE 0 END) AS bucket
+        FROM proj GROUP BY vec_id, c // {nb}
+    ),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM buckets q JOIN buckets c ON q.bucket = c.bucket
+        WHERE q.vec_id < 10 AND q.vec_id != c.vec_id
+    ),
+    flatp AS (
+        SELECT cd.query_id, cd.neighbor_id,
+               CAST(unnest(qv.embedding) AS DOUBLE) AS a,
+               CAST(unnest(nv.embedding) AS DOUBLE) AS b
+        FROM cand cd
+        JOIN embeddings qv ON qv.vec_id = cd.query_id
+        JOIN embeddings nv ON nv.vec_id = cd.neighbor_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               sum(a * b) / (sqrt(sum(a * a)) * sqrt(sum(b * b))) AS cos
+        FROM flatp GROUP BY query_id, neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+        ) AS rank FROM scored
+    ) WHERE rank <= {_LSH_K}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -816,6 +965,7 @@ def oracle_sql() -> dict[str, str]:
     SELECT user_id, session_idx, count(*) AS n_events,
            min(ts_s) AS start_s, max(ts_s) AS end_s
     FROM sess GROUP BY user_id, session_idx""",
+        "lsh_cosine_topk": _lsh_cosine_topk_oracle(),
         "embedding_dup_pairs": """
     WITH pairs AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS va, b.embedding AS vb
@@ -914,6 +1064,140 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT term, delete_key FROM lvl1
         UNION ALL SELECT term, '' FROM keep WHERE length(term) <= 1
     )""",
+        # Deterministic lookup_compound slice (see q_compound_correct):
+        # per-token TOP lookup + concat + the reference's sequential
+        # naive-Bayes count chain (joined_count *= count/N in token
+        # order, truncated to int64 — replayed with list_reduce so the
+        # float op order is bit-identical).
+        "compound_correct": f"""
+    WITH tok AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS ts
+        FROM documents WHERE doc_id < 50
+    ),
+    vtok AS (
+        SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+        FROM documents
+    ),
+    vocab AS (SELECT term, CAST(count(*) AS BIGINT) AS count FROM vtok GROUP BY term),
+    base AS (
+        SELECT doc_id,
+               substr(ts[1], 1, 1) || substr(ts[1], 3, 2147483647) AS m0,
+               ts[2:8] AS rest
+        FROM tok WHERE len(ts) >= 8 AND length(ts[1]) >= 5
+    ),
+    eligible AS (
+        SELECT b.doc_id, b.m0, b.rest FROM base b
+        WHERE NOT EXISTS (SELECT 1 FROM vocab v WHERE v.term = b.m0 || b.rest[1])
+    ),
+    cand AS (
+        SELECT e.doc_id, v.term, levenshtein(e.m0, v.term) AS d, v.count
+        FROM eligible e CROSS JOIN vocab v
+        WHERE abs(length(e.m0) - length(v.term)) <= 2
+          AND levenshtein(e.m0, v.term) <= 2
+    ),
+    top0 AS (
+        SELECT doc_id, term, d, count FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY d, count DESC, term
+            ) AS rn FROM cand
+        ) WHERE rn = 1
+    ),
+    restc AS (
+        SELECT e.doc_id, i, v.count
+        FROM eligible e, unnest(range(1, len(e.rest) + 1)) AS t(i)
+        JOIN vocab v ON v.term = e.rest[i]
+    ),
+    chain AS (
+        SELECT doc_id, list(CAST(count AS DOUBLE) ORDER BY i) AS cs
+        FROM restc GROUP BY doc_id
+    )
+    SELECT e.doc_id,
+           t.term || ' ' || array_to_string(e.rest, ' ') AS term,
+           CAST(levenshtein(e.m0 || ' ' || array_to_string(e.rest, ' '),
+                            t.term || ' ' || array_to_string(e.rest, ' ')) AS INT)
+               AS distance,
+           CAST(trunc(list_reduce(
+               list_prepend(CAST({DEFAULT_CORPUS_N} AS DOUBLE),
+                            list_prepend(CAST(t.count AS DOUBLE), c.cs)),
+               (acc, x) -> acc * (x / {DEFAULT_CORPUS_N}))) AS BIGINT) AS count
+    FROM eligible e
+    JOIN top0 t USING (doc_id)
+    JOIN chain c USING (doc_id)""",
+        # Replays the reference's triangular segmentation DP
+        # (symspellpy.py:867-1015) as a recursive-CTE prefix DP: best[p]
+        # (the Composition for the length-p prefix) is folded left over
+        # candidates (j, i=p-j) in ascending-j order — the exact write
+        # order of the circular-buffer loop — with the reference's
+        # replace condition, including the separator-length equality
+        # quirk (`dist IN (cand, cand - 1)`) and log-prob tie-break.
+        # Valid for THIS corpus (ASCII, no whitespace after gluing, no
+        # punctuation), where NFKC / capitalization-retention / the
+        # punctuation concat branch are all identity.
+        "word_segmentation": f"""
+    WITH RECURSIVE tok AS (
+        SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+        FROM documents
+    ),
+    vocab AS (SELECT term, CAST(count(*) AS BIGINT) AS count FROM tok GROUP BY term),
+    maxw AS (SELECT max(length(term)) AS L FROM vocab),
+    ph AS (
+        SELECT doc_id, replace(substr(text, 1, 80), ' ', '') AS phrase,
+               length(replace(substr(text, 1, 80), ' ', '')) AS n
+        FROM documents
+        WHERE doc_id < 50 AND length(replace(substr(text, 1, 80), ' ', '')) > 0
+    ),
+    cells AS (
+        SELECT p.doc_id, j, i, substr(p.phrase, j + 1, i) AS part
+        FROM ph p, maxw m,
+             unnest(range(0, p.n)) AS tj(j),
+             unnest(range(1, least(p.n - tj.j, m.L) + 1)) AS ti(i)
+    ),
+    scored AS (
+        SELECT c.doc_id, c.j, c.i, c.part,
+               CASE WHEN v.term IS NULL THEN length(c.part) ELSE 0 END AS top_ed,
+               CASE WHEN v.term IS NULL
+                    THEN 1.0 - log10(CAST({DEFAULT_CORPUS_N} AS DOUBLE))
+                         - CAST(length(c.part) AS DOUBLE)
+                    ELSE log10(CAST(v.count AS DOUBLE) / {DEFAULT_CORPUS_N})
+               END AS top_logp
+        FROM cells c LEFT JOIN vocab v ON v.term = c.part
+    ),
+    dp AS (
+        SELECT doc_id, 0 AS t,
+               [{{'seg': '', 'corr': '', 'dist': 0,
+                  'logp': CAST(0.0 AS DOUBLE), 'cmp': 0}}] AS hist
+        FROM ph
+        UNION ALL
+        SELECT d.doc_id, d.t + 1,
+               list_append(d.hist, (
+                   SELECT list_reduce(
+                       list({{'seg': CASE WHEN s.j = 0 THEN s.part
+                                          ELSE d.hist[s.j + 1].seg || ' ' || s.part END,
+                             'corr': CASE WHEN s.j = 0 THEN s.part
+                                          ELSE d.hist[s.j + 1].corr || ' ' || s.part END,
+                             'dist': CASE WHEN s.j = 0 THEN s.top_ed
+                                          ELSE d.hist[s.j + 1].dist + 1 + s.top_ed END,
+                             'logp': CASE WHEN s.j = 0 THEN s.top_logp
+                                          ELSE d.hist[s.j + 1].logp + s.top_logp END,
+                             'cmp': CASE WHEN s.j = 0 THEN s.top_ed
+                                         ELSE d.hist[s.j + 1].dist + 1 + s.top_ed END}}
+                            ORDER BY s.j),
+                       (acc, c) -> CASE WHEN c.cmp < acc.dist
+                                         OR (acc.dist IN (c.cmp, c.cmp - 1)
+                                             AND acc.logp < c.logp)
+                                   THEN c ELSE acc END)
+                   FROM scored s
+                   WHERE s.doc_id = d.doc_id AND s.j + s.i = d.t + 1
+               ))
+        FROM dp d JOIN ph p ON p.doc_id = d.doc_id
+        WHERE d.t < p.n
+    )
+    SELECT p.doc_id,
+           d.hist[p.n + 1].seg AS segmented_string,
+           d.hist[p.n + 1].corr AS corrected_string,
+           CAST(d.hist[p.n + 1].dist AS INT) AS distance_sum
+    FROM dp d JOIN ph p ON p.doc_id = d.doc_id
+    WHERE d.t = p.n""",
         "props_extract": """
     SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
     FROM events""",
