@@ -51,22 +51,46 @@ def _encode(strings: np.ndarray, max_len: int) -> tuple[np.ndarray, np.ndarray]:
     return codes, lengths
 
 
+_BIG = np.int64(1) << 30
+
+
+def _strip_affixes(a: str, b: str) -> tuple[str, str]:
+    """Common-suffix-then-prefix strip (reference helpers.py:221-250,
+    E8 ``prefix_suffix_prep``): edit distance is invariant under
+    removing a shared prefix/suffix, and the DP then runs on the
+    (usually tiny) differing core only."""
+    l1, l2 = len(a), len(b)
+    while l1 > 0 and l2 > 0 and a[l1 - 1] == b[l2 - 1]:
+        l1 -= 1
+        l2 -= 1
+    start = 0
+    while start < l1 and start < l2 and a[start] == b[start]:
+        start += 1
+    return a[start:l1], b[start:l2]
+
+
 def _dp_batch(
     a_codes: np.ndarray,
     a_len: np.ndarray,
     b_codes: np.ndarray,
     b_len: np.ndarray,
     transpositions: bool,
+    max_distance: int,
 ) -> np.ndarray:
-    """Full-edit-distance DP across a batch; returns int64 distances.
+    """Banded edit-distance DP across a batch; returns int64 distances.
 
     Rows iterate over positions of ``a``; every column update is a
     vector op across the batch. The per-row answer is captured on the
-    iteration where ``i == len(a)`` (row 0 for empty a).
+    iteration where ``i == len(a)`` (row 0 for empty a). Only the
+    diagonal band ``|i - j| <= max_distance`` is relaxed (reference
+    editdistance.py:194-239): any path leaving the band costs more than
+    ``max_distance``, which callers clamp to -1 anyway, so the inner
+    loop is O(min(2*max_distance + 1, lb)) instead of O(lb).
     """
     n, la = a_codes.shape
     lb = b_codes.shape[1]
     out = np.empty(n, dtype=np.int64)
+    band = max_distance >= 0 and max_distance < lb
 
     prev = np.broadcast_to(np.arange(lb + 1, dtype=np.int64), (n, lb + 1)).copy()
     done = a_len == 0
@@ -77,10 +101,26 @@ def _dp_batch(
     cur = np.empty_like(prev)
     idx = np.arange(n)
     for i in range(1, la + 1):
-        cur[:, 0] = i
+        if band:
+            jlo = max(1, i - max_distance)
+            jhi = min(lb, i + max_distance)
+            if jlo > jhi:
+                break  # every remaining cell is outside the band
+            # cells bordering the band hold stale/out-of-band values:
+            # the right prev neighbor (i-1, i+max_d) and the left cur
+            # neighbor (i, jlo-1) are unreachable within the budget
+            if jhi == i + max_distance:
+                prev[:, jhi] = _BIG
+            if jlo > 1:
+                cur[:, jlo - 1] = _BIG
+            else:
+                cur[:, 0] = i
+        else:
+            jlo, jhi = 1, lb
+            cur[:, 0] = i
         ai = a_codes[:, i - 1][:, None]  # (n, 1)
         cost = (ai != b_codes).astype(np.int64)  # (n, lb)
-        for j in range(1, lb + 1):
+        for j in range(jlo, jhi + 1):
             c = np.minimum(prev[:, j] + 1, prev[:, j - 1] + cost[:, j - 1])
             np.minimum(c, cur[:, j - 1] + 1, out=c)
             if transpositions and i > 1 and j > 1:
@@ -98,18 +138,36 @@ def _dp_batch(
     return out
 
 
-def _dp_single(a: str, b: str, transpositions: bool) -> int:
-    """Per-row fallback for very long strings (rare path)."""
+def _dp_single(a: str, b: str, transpositions: bool, max_distance: int) -> int:
+    """Per-row fallback for very long strings: affix-stripped + banded,
+    so a mostly-equal long pair (compound's whole-document distance)
+    costs O(core * min(2*max_distance + 1, core)) instead of O(n * m)."""
+    a, b = _strip_affixes(a, b)
     la, lb = len(a), len(b)
     if la == 0:
         return lb
     if lb == 0:
         return la
+    if max_distance >= 0 and abs(la - lb) > max_distance:
+        return max_distance + 1
+    big = 1 << 30
+    band = 0 <= max_distance < lb
     prev = list(range(lb + 1))
     prev2 = [0] * (lb + 1)
     for i in range(1, la + 1):
-        cur = [i] + [0] * lb
-        for j in range(1, lb + 1):
+        cur = [big] * (lb + 1)
+        if band:
+            jlo = max(1, i - max_distance)
+            jhi = min(lb, i + max_distance)
+            if jlo > jhi:
+                return max_distance + 1
+            if jhi == i + max_distance:
+                prev[jhi] = big
+        else:
+            jlo, jhi = 1, lb
+        if jlo == 1:
+            cur[0] = i
+        for j in range(jlo, jhi + 1):
             cost = 0 if a[i - 1] == b[j - 1] else 1
             d = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
             if (
@@ -169,18 +227,33 @@ def _distance_batch(
 
     idx = np.flatnonzero(todo)
     if idx.size:
-        long_rows = idx[np.maximum(la[idx], lb[idx]) > _BATCH_LEN_CAP]
-        for r in long_rows:
-            d = _dp_single(a[r], b[r], transpositions)
-            result[r] = d if d <= max_distance else -1
-        short = idx[np.maximum(la[idx], lb[idx]) <= _BATCH_LEN_CAP]
-        if short.size:
-            max_a = int(la[short].max())
-            max_b = int(lb[short].max())
-            a_codes, a_lens = _encode(a[short], max(max_a, 1))
-            b_codes, b_lens = _encode(b[short], max(max_b, 1))
-            d = _dp_batch(a_codes, a_lens, b_codes, b_lens, transpositions)
-            result[short] = np.where(d <= max_distance, d, -1)
+        # E8: strip shared affixes first — the DP then sees only the
+        # differing core, and batch/fallback classification is by CORE
+        # length, so long-but-mostly-equal pairs stay on the fast path
+        core_a = np.empty(idx.size, dtype=object)
+        core_b = np.empty(idx.size, dtype=object)
+        ca_len = np.empty(idx.size, dtype=np.int64)
+        cb_len = np.empty(idx.size, dtype=np.int64)
+        for k, r in enumerate(idx):
+            x, y = _strip_affixes(a[r], b[r])
+            core_a[k] = x
+            core_b[k] = y
+            ca_len[k] = len(x)
+            cb_len[k] = len(y)
+        long_k = np.flatnonzero(np.maximum(ca_len, cb_len) > _BATCH_LEN_CAP)
+        for k in long_k:
+            d = _dp_single(core_a[k], core_b[k], transpositions, max_distance)
+            result[idx[k]] = d if d <= max_distance else -1
+        short_k = np.flatnonzero(np.maximum(ca_len, cb_len) <= _BATCH_LEN_CAP)
+        if short_k.size:
+            max_a = int(ca_len[short_k].max())
+            max_b = int(cb_len[short_k].max())
+            a_codes, a_lens = _encode(core_a[short_k], max(max_a, 1))
+            b_codes, b_lens = _encode(core_b[short_k], max(max_b, 1))
+            d = _dp_batch(
+                a_codes, a_lens, b_codes, b_lens, transpositions, max_distance
+            )
+            result[idx[short_k]] = np.where(d <= max_distance, d, -1)
     return pd.Series(result, index=s1.index)
 
 

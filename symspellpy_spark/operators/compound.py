@@ -43,6 +43,7 @@ from symspellpy_spark.functions.text import (
 )
 from symspellpy_spark.operators.dictionary import SparkDictionary
 from symspellpy_spark.operators.lookup import lookup_batch
+from symspellpy_spark.operators.scoped_cache import persist_scoped
 
 __all__ = ["lookup_compound_batch"]
 
@@ -166,8 +167,11 @@ def lookup_compound_batch(
         F.col("count").alias("s_count"),
     )
     # the lookup table feeds FOUR joins (term, combo, part1, part2);
-    # persist so the staged lookup computes once, not once per consumer
-    lut = lut.persist()
+    # persist so the staged lookup computes once, not once per consumer.
+    # Generation-scoped (see scoped_cache.py): older generations are
+    # unpersisted on each new call, keeping executor storage flat across
+    # repeated lookup_compound_batch calls.
+    lut = persist_scoped(lut, "compound.lut")
 
     # ---- pre-join lookups back onto token / split rows ----
     toks = (

@@ -34,6 +34,7 @@ from symspellpy_spark.functions.distance import distance_udf
 from symspellpy_spark.functions.text import case_transfer_similar_udf
 from symspellpy_spark.operators.deletes import delete_neighborhood
 from symspellpy_spark.operators.dictionary import SparkDictionary
+from symspellpy_spark.operators.scoped_cache import persist_scoped
 
 __all__ = ["lookup_batch"]
 
@@ -199,8 +200,11 @@ def lookup_batch(
             )
             # the shallow pass feeds BOTH the final union and (via the
             # anti-join) the deep pass's probe side — persist it so the
-            # diamond computes once instead of once per consumer
-            near = near.persist()
+            # diamond computes once. Generation-scoped: each new
+            # lookup_batch call unpersists older generations, so repeated
+            # calls in a long-lived session keep storage flat (see
+            # scoped_cache.py for why localCheckpoint is not an option).
+            near = persist_scoped(near, "lookup_batch.near")
             unresolved = q.join(
                 near.select("query").distinct(), "query", "left_anti"
             )

@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import StringType
 
-from symspellpy_spark.config import Verbosity
+from symspellpy_spark.config import DistanceAlgorithm, Verbosity
 from symspellpy_spark.operators.dictionary import SparkDictionary
 from symspellpy_spark.operators.lookup import lookup_batch
 
@@ -51,6 +51,7 @@ def word_segmentation_batch(
     ignore_pattern: str | None = None,
     doc_col: str = "doc_id",
     text_col: str = "text",
+    strategy: str = "auto",
 ) -> DataFrame:
     """-> (doc_id, segmented_string, corrected_string, distance_sum,
     log_prob_sum) — one row per document (the reference's Composition).
@@ -59,9 +60,19 @@ def word_segmentation_batch(
     probe, so instead of exploding O(len * max_word_len) substring rows
     into a join + shuffle, the words table is broadcast as a plain dict
     into a ``mapInPandas`` kernel and the whole DP runs doc-local —
-    same results, no per-substring relation. The relational
-    hoisted-lookup path remains for fuzzy (d > 0) segmentation, where
-    the delete index is genuinely needed.
+    same results, no per-substring relation.
+
+    For fuzzy (d > 0) segmentation the default (``strategy="auto"``) is
+    the broadcast-LUT path: ONE relational ``lookup_batch`` over the
+    corpus's *distinct* part strings (the delete index does its job
+    exactly once per distinct string), then only the FOUND entries are
+    broadcast as a dict and the DP runs doc-local. Unknown parts never
+    need the LUT — their score is the closed unknown-word formula — so
+    the broadcast is bounded by |distinct substrings within d of the
+    vocabulary| (≈ vocab × neighborhood, NOT corpus size). Pass
+    ``strategy="relational"`` to shuffle every scored (doc, j, i) cell
+    into a per-document ``applyInPandas`` fold instead — the shape to
+    use when the found-part set itself is too large to broadcast.
     """
     cfg = dictionary.config
     if max_edit_distance is None:
@@ -75,6 +86,17 @@ def word_segmentation_batch(
         return _segmentation_broadcast_d0(
             docs,
             dictionary,
+            max_word_len,
+            ignore_pattern,
+            n_const,
+            doc_col,
+            text_col,
+        )
+    if strategy == "auto":
+        return _segmentation_broadcast_fuzzy(
+            docs,
+            dictionary,
+            max_edit_distance,
             max_word_len,
             ignore_pattern,
             n_const,
@@ -277,100 +299,105 @@ def _with_empties(result: DataFrame, docs: DataFrame) -> DataFrame:
     return result.unionByName(empties)
 
 
-def _segmentation_broadcast_d0(
-    docs: DataFrame,
-    dictionary: SparkDictionary,
+_PUNCT = set(_string.punctuation)
+_WS_RE = None  # compiled lazily on executors
+
+
+def _segment_phrase(
+    phrase: str,
+    resolve,
     max_word_len: int,
-    ignore_pattern: str | None,
+    n_const: float,
+    log10_n: float,
+) -> tuple[str, str, int, float]:
+    """The reference's triangular DP over one phrase
+    (symspellpy.py:925-1013), parameterized by ``resolve(query) ->
+    (s_term, s_dist, s_count) | None`` — the only piece that differs
+    between the d=0 membership kernel and the fuzzy broadcast-LUT
+    kernel. Every scoring expression mirrors the relational path's
+    Catalyst expression, so all strategies are bit-identical."""
+    import re
+
+    global _WS_RE
+    if _WS_RE is None:
+        _WS_RE = re.compile(r"\s")
+    ws = _WS_RE
+    punct = _PUNCT
+    n_j = len(phrase)
+    array_size = min(max_word_len, n_j)
+    comps = [("", "", 0, 0.0)] * array_size
+    idx = -1
+    for j in range(n_j):
+        imax = min(n_j - j, max_word_len)
+        for i in range(1, imax + 1):
+            raw_part = phrase[j : j + i]
+            lead = bool(ws.match(raw_part[:1]))
+            part1 = raw_part[1:] if lead else raw_part
+            separator_len = 0 if lead else 1
+            part = part1.replace(" ", "")
+            spaces_removed = len(part1) - len(part)
+            query = part.lower()
+            res = resolve(query)
+            if res is not None:
+                s_term, s_dist, s_count = res
+                if part[:1] != part[:1].lower():
+                    top_result = s_term[:1].upper() + s_term[1:].lower()
+                else:
+                    top_result = s_term
+                top_ed = spaces_removed + s_dist
+                top_log_prob = math.log10(float(s_count) / n_const)
+            else:
+                top_result = part
+                top_ed = spaces_removed + len(part)
+                top_log_prob = 1.0 - log10_n - float(len(part))
+            dest = (i + idx) % array_size
+            if j == 0:
+                comps[dest] = (part, top_result, top_ed, top_log_prob)
+            elif (
+                i == max_word_len
+                or (
+                    comps[dest][2]
+                    in (
+                        comps[idx][2] + top_ed,
+                        comps[idx][2] + separator_len + top_ed,
+                    )
+                    and comps[dest][3] < comps[idx][3] + top_log_prob
+                )
+                or comps[idx][2] + separator_len + top_ed < comps[dest][2]
+            ):
+                if (len(top_result) == 1 and top_result[0] in punct) or (
+                    len(top_result) == 2 and top_result.startswith("'")
+                ):
+                    comps[dest] = (
+                        comps[idx][0] + part,
+                        comps[idx][1] + top_result,
+                        comps[idx][2] + top_ed,
+                        comps[idx][3] + top_log_prob,
+                    )
+                else:
+                    comps[dest] = (
+                        comps[idx][0] + " " + part,
+                        comps[idx][1] + " " + top_result,
+                        comps[idx][2] + separator_len + top_ed,
+                        comps[idx][3] + top_log_prob,
+                    )
+        idx = (idx + 1) % array_size
+    return comps[idx]
+
+
+def _run_doc_local_dp(
+    docs: DataFrame,
+    make_resolve,
+    max_word_len: int,
     n_const: float,
     doc_col: str,
     text_col: str,
 ) -> DataFrame:
-    """d=0 fast path: broadcast words map + doc-local DP in mapInPandas.
+    """Common mapInPandas harness for the doc-local DP kernels.
 
-    Produces bit-identical results to the relational path: every scoring
-    expression below mirrors the Catalyst expression it replaces, and
-    the relax loop is the same code as ``fold``.
-    """
-    import re
-
-    words_map = {
-        r["term"]: r["count"] for r in dictionary.words.select("term", "count").collect()
-    }
-    bc = docs.sparkSession.sparkContext.broadcast(words_map)
-    ign = re.compile(f"^(?:{ignore_pattern})") if ignore_pattern is not None else None
-    punct = set(_string.punctuation)
+    ``make_resolve()`` runs once per python worker and returns the
+    ``resolve`` closure (typically over a broadcast map)."""
     log10_n = math.log10(n_const)
-    ws = re.compile(r"\s")
-
-    def segment_one(phrase: str) -> tuple[str, str, int, float]:
-        words = bc.value
-        n_j = len(phrase)
-        array_size = min(max_word_len, n_j)
-        comps = [("", "", 0, 0.0)] * array_size
-        idx = -1
-        for j in range(n_j):
-            imax = min(n_j - j, max_word_len)
-            for i in range(1, imax + 1):
-                raw_part = phrase[j : j + i]
-                lead = bool(ws.match(raw_part[:1]))
-                part1 = raw_part[1:] if lead else raw_part
-                separator_len = 0 if lead else 1
-                part = part1.replace(" ", "")
-                spaces_removed = len(part1) - len(part)
-                query = part.lower()
-                count = words.get(query)
-                if count is None and ign is not None and ign.match(query):
-                    s_term, s_count = query, 1
-                elif count is not None:
-                    s_term, s_count = query, count
-                else:
-                    s_term = None
-                if s_term is not None:
-                    if part[:1] != part[:1].lower():
-                        top_result = s_term[:1].upper() + s_term[1:].lower()
-                    else:
-                        top_result = s_term
-                    top_ed = spaces_removed
-                    top_log_prob = math.log10(float(s_count) / n_const)
-                else:
-                    top_result = part
-                    top_ed = spaces_removed + len(part)
-                    top_log_prob = 1.0 - log10_n - float(len(part))
-                dest = (i + idx) % array_size
-                if j == 0:
-                    comps[dest] = (part, top_result, top_ed, top_log_prob)
-                elif (
-                    i == max_word_len
-                    or (
-                        comps[dest][2]
-                        in (
-                            comps[idx][2] + top_ed,
-                            comps[idx][2] + separator_len + top_ed,
-                        )
-                        and comps[dest][3] < comps[idx][3] + top_log_prob
-                    )
-                    or comps[idx][2] + separator_len + top_ed < comps[dest][2]
-                ):
-                    if (len(top_result) == 1 and top_result[0] in punct) or (
-                        len(top_result) == 2 and top_result.startswith("'")
-                    ):
-                        comps[dest] = (
-                            comps[idx][0] + part,
-                            comps[idx][1] + top_result,
-                            comps[idx][2] + top_ed,
-                            comps[idx][3] + top_log_prob,
-                        )
-                    else:
-                        comps[dest] = (
-                            comps[idx][0] + " " + part,
-                            comps[idx][1] + " " + top_result,
-                            comps[idx][2] + separator_len + top_ed,
-                            comps[idx][3] + top_log_prob,
-                        )
-            idx = (idx + 1) % array_size
-        return comps[idx]
-
     norm = nfkc_strip_hyphens_udf()
     prepped = docs.select(
         F.col(doc_col).alias("doc_id"), norm(F.col(text_col)).alias("phrase")
@@ -382,12 +409,18 @@ def _segmentation_broadcast_d0(
     )
 
     def run(batches):
+        made = make_resolve()
+        prepare, resolve = made if isinstance(made, tuple) else (None, made)
         for pdf in batches:
+            if prepare is not None:
+                prepare(list(pdf["phrase"]))
             out = []
             for doc_id, phrase in zip(pdf["doc_id"], pdf["phrase"]):
                 if phrase is None or len(phrase) == 0:
                     continue
-                seg, corr, dist, logp = segment_one(phrase)
+                seg, corr, dist, logp = _segment_phrase(
+                    phrase, resolve, max_word_len, n_const, log10_n
+                )
                 out.append((doc_id, seg, corr, dist, logp))
             yield pd.DataFrame(
                 out,
@@ -409,3 +442,255 @@ def _segmentation_broadcast_d0(
         live = live.repartition(para * 2)
     result = live.mapInPandas(run, schema=out_schema)
     return _with_empties(result, prepped)
+
+
+def _segmentation_broadcast_d0(
+    docs: DataFrame,
+    dictionary: SparkDictionary,
+    max_word_len: int,
+    ignore_pattern: str | None,
+    n_const: float,
+    doc_col: str,
+    text_col: str,
+) -> DataFrame:
+    """d=0 fast path: broadcast words map + doc-local DP in mapInPandas.
+
+    NOTE on scale: the whole vocabulary is collected to the driver (fine
+    at dictionary scale, 82k terms ≈ 2 MB; a web-scale vocab should use
+    the relational d>0 path or a pruned vocabulary instead).
+    """
+    words_map = {
+        r["term"]: r["count"] for r in dictionary.words.select("term", "count").collect()
+    }
+    bc = docs.sparkSession.sparkContext.broadcast(words_map)
+    ign_pat = ignore_pattern
+
+    def make_resolve():
+        import re
+
+        words = bc.value
+        ign = re.compile(f"^(?:{ign_pat})") if ign_pat is not None else None
+
+        def resolve(query):
+            count = words.get(query)
+            if count is not None:
+                return (query, 0, count)
+            if ign is not None and ign.match(query):
+                return (query, 0, 1)
+            return None
+
+        return resolve
+
+    return _run_doc_local_dp(
+        docs, make_resolve, max_word_len, n_const, doc_col, text_col
+    )
+
+
+def _delete_neighborhood_local(s: str, d: int, p: int) -> set[str]:
+    """Python twin of ``delete_neighborhood`` (operators/deletes.py:62,
+    reference symspellpy.py:1038-1068): every distinct string from
+    deleting <= d chars of s[:p], plus "" when len(s) <= d."""
+    pref = s[:p]
+    seen = {pref}
+    frontier = [pref]
+    for _ in range(d):
+        nxt = []
+        for t in frontier:
+            for i in range(len(t)):
+                k = t[:i] + t[i + 1 :]
+                if k not in seen:
+                    seen.add(k)
+                    nxt.append(k)
+        frontier = nxt
+    if len(s) <= d:
+        seen.add("")
+    return seen
+
+
+# per-python-worker state, keyed by broadcast id: the delete index is
+# rebuilt once per worker from the (small) words map, and resolved
+# queries are cached across Arrow batches — python workers are reused
+_WORKER_LOOKUP_STATE: dict = {}
+_WORKER_CACHE_CAP = 4_000_000
+
+
+def _segmentation_broadcast_fuzzy(
+    docs: DataFrame,
+    dictionary: SparkDictionary,
+    max_edit_distance: int,
+    max_word_len: int,
+    ignore_pattern: str | None,
+    n_const: float,
+    doc_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Fuzzy (d > 0) fast path: worker-local SymSpell lookup inside the
+    doc-local DP kernel.
+
+    The relational path's cost is one distributed ``lookup_batch`` over
+    the corpus's distinct substrings — O(len * max_word_len) candidate
+    strings per document through a join pipeline. Here only the words
+    map (term -> count, ~2 MB for the EN dictionary) is broadcast; each
+    python worker derives the delete-key index from it once, then
+    resolves cell queries locally with the semantics of ``lookup_batch``
+    TOP (delete-neighborhood candidate gen per deletes.py:62, |len|
+    prune, exact verify with the SAME numpy kernels distance_udf uses,
+    (distance ASC, count DESC, term ASC) tie-break, ignore_pattern and
+    exact-hit short-circuits per lookup.py:70-108). Queries of a batch
+    are resolved in ONE vectorized verify call, and the resolution
+    cache persists across batches in the worker.
+    """
+    from symspellpy_spark.functions.distance import (
+        damerau_osa_batch,
+        levenshtein_batch,
+    )
+
+    cfg = dictionary.config
+    if cfg.distance_algorithm not in (
+        DistanceAlgorithm.LEVENSHTEIN,
+        DistanceAlgorithm.DAMERAU_OSA,
+    ):
+        raise ValueError(
+            "strategy='auto' fuzzy segmentation supports the built-in "
+            "kernels; pass strategy='relational' for USER_PROVIDED"
+        )
+    transpositions = cfg.distance_algorithm == DistanceAlgorithm.DAMERAU_OSA
+    kernel = damerau_osa_batch if transpositions else levenshtein_batch
+    d_ = max_edit_distance
+    p_ = cfg.prefix_length
+    dict_max_len = dictionary.max_length
+    ign_pat = ignore_pattern
+
+    words_map = {
+        r["term"]: r["count"]
+        for r in dictionary.words.select("term", "count").collect()
+    }
+    bc = docs.sparkSession.sparkContext.broadcast(words_map)
+
+    def make_resolve():
+        import re
+
+        key = (id(bc), d_, p_)
+        state = _WORKER_LOOKUP_STATE.get(key)
+        if state is None:
+            words = bc.value
+            index: dict[str, list[str]] = {}
+            for t in words:
+                for k in _delete_neighborhood_local(t, d_, p_):
+                    index.setdefault(k, []).append(t)
+            state = (words, index, {})
+            _WORKER_LOOKUP_STATE.clear()  # one dictionary per worker
+            _WORKER_LOOKUP_STATE[key] = state
+        words, index, cache = state
+        ign = re.compile(f"^(?:{ign_pat})") if ign_pat is not None else None
+        ws = re.compile(r"\s")
+
+        def candidates_of(q: str) -> list[str]:
+            lq = len(q)
+            cands: set[str] = set()
+            for k in _delete_neighborhood_local(q, d_, p_):
+                for t in index.get(k, ()):
+                    if abs(len(t) - lq) <= d_:
+                        cands.add(t)
+            return sorted(cands)
+
+        def pick_best(cl: list[str], dists) -> tuple[str, int, int] | None:
+            best = None
+            best_key = None
+            for t, dist in zip(cl, dists):
+                dist = int(dist)
+                if dist < 0:
+                    continue
+                k2 = (dist, -words[t], t)
+                if best_key is None or k2 < best_key:
+                    best_key = k2
+                    best = (t, dist, words[t])
+            return best
+
+        def resolve_one(q: str):
+            c = words.get(q)
+            if c is not None:
+                return (q, 0, c)
+            if ign is not None and ign.match(q):
+                return (q, 0, 1)
+            if len(q) - d_ > dict_max_len:
+                return None
+            cl = candidates_of(q)
+            if not cl:
+                return None
+            dists = kernel(
+                pd.Series([q] * len(cl), dtype=object),
+                pd.Series(cl, dtype=object),
+                d_,
+            ).to_numpy()
+            return pick_best(cl, dists)
+
+        def prepare(phrases):
+            """Resolve every not-yet-cached distinct cell query of the
+            batch with one vectorized kernel call."""
+            todo = set()
+            for phrase in phrases:
+                if not phrase:
+                    continue
+                n_j = len(phrase)
+                for j in range(n_j):
+                    imax = min(n_j - j, max_word_len)
+                    for i in range(1, imax + 1):
+                        raw = phrase[j : j + i]
+                        if ws.match(raw[:1]):
+                            raw = raw[1:]
+                        q = raw.replace(" ", "").lower()
+                        if q not in cache:
+                            todo.add(q)
+            if not todo:
+                return
+            if len(cache) > _WORKER_CACHE_CAP:
+                cache.clear()
+            pairs_q: list[str] = []
+            pairs_t: list[str] = []
+            cand_map: dict[str, list[str]] = {}
+            for q in todo:
+                c = words.get(q)
+                if c is not None:
+                    cache[q] = (q, 0, c)
+                    continue
+                if ign is not None and ign.match(q):
+                    cache[q] = (q, 0, 1)
+                    continue
+                if len(q) - d_ > dict_max_len:
+                    cache[q] = None
+                    continue
+                cl = candidates_of(q)
+                if not cl:
+                    cache[q] = None
+                    continue
+                cand_map[q] = cl
+                pairs_q.extend([q] * len(cl))
+                pairs_t.extend(cl)
+            if not pairs_q:
+                return
+            dists = kernel(
+                pd.Series(pairs_q, dtype=object),
+                pd.Series(pairs_t, dtype=object),
+                d_,
+            ).to_numpy()
+            pos = 0
+            for q, cl in cand_map.items():
+                cache[q] = pick_best(cl, dists[pos : pos + len(cl)])
+                pos += len(cl)
+
+        _MISSING = object()
+
+        def resolve(q):
+            r = cache.get(q, _MISSING)
+            if r is _MISSING:
+                # enumeration drift safety net: resolve synchronously
+                r = resolve_one(q)
+                cache[q] = r
+            return r
+
+        return prepare, resolve
+
+    return _run_doc_local_dp(
+        docs, make_resolve, max_word_len, n_const, doc_col, text_col
+    )

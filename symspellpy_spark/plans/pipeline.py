@@ -44,7 +44,12 @@ from symspellpy_spark.operators.lookup import lookup_batch
 
 __all__ = ["DedupConfig", "DedupPipeline"]
 
-PIPELINE_VERSION = 1
+# v2: checkpoint format changed incompatibly vs v1 — `id` switched from
+# url string to xxhash64 long, signatures carry a precomputed `bands`
+# column, and the MinHash/shingle hash families changed. Bumping the
+# version invalidates all v1 checkpoints by design (validity is keyed on
+# config+version, which would otherwise accept them).
+PIPELINE_VERSION = 2
 
 
 @dataclass
@@ -265,7 +270,7 @@ class DedupPipeline:
             self._memo["sig_narrow"] = narrow
         return self._memo["sig_narrow"]
 
-    def candidate_pairs(self, pages: DataFrame, signatures: DataFrame) -> DataFrame:
+    def candidate_pairs(self, pages: DataFrame) -> DataFrame:
         c = self.config
         narrow = self._signatures_narrow(pages)
         pages64 = self._pages64(pages)
@@ -316,7 +321,7 @@ class DedupPipeline:
             self._memo["edges"] = cached
             return cached
         sig = self.signatures(pages)
-        pairs = self.candidate_pairs(pages, sig).localCheckpoint(eager=False)
+        pairs = self.candidate_pairs(pages).localCheckpoint(eager=False)
         self._metric_count("candidates", pairs)
         verified = jaccard_verify(
             pairs, sig, threshold=self.config.jaccard_threshold

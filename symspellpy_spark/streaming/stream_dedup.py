@@ -115,6 +115,11 @@ def streaming_simhash_pairs(
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    # id type follows the input column (urls are strings, the pipeline's
+    # internal ids are 8-byte longs) — a hardcoded string schema would
+    # break the stateful operator at runtime for long ids
+    id_type = dict(pages_stream.select(F.col(id_col)).dtypes)[id_col]
+
     u64 = (1 << 64) - 1
 
     def detect(key, pdfs, state):
@@ -144,11 +149,46 @@ def streaming_simhash_pairs(
 
     return exploded.groupBy("block_id", "block_value").applyInPandasWithState(
         detect,
-        outputStructType="id_a string, id_b string, hamming int",
-        stateStructType="ids array<string>, sims array<long>",
+        outputStructType=f"id_a {id_type}, id_b {id_type}, hamming int",
+        stateStructType=f"ids array<{id_type}>, sims array<long>",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def index_exists(spark: SparkSession, path: str) -> bool:
+    """Explicit history-existence probe (any Hadoop FS scheme)."""
+    fs, jpath = _hadoop_fs(spark, path)
+    return bool(fs.exists(jpath))
+
+
+def compact_band_index(spark: SparkSession, index_path: str, files_per_band: int = 1) -> None:
+    """Rewrite the append-only band index into few sorted files.
+
+    Appends accumulate one file set per micro-batch; without compaction
+    the per-batch probe pays O(#batches) file listings/opens even though
+    the row count is just O(history). Rewrites atomically via a temp
+    directory + rename (foreachBatch is sequential, so no concurrent
+    reader exists mid-swap).
+    """
+    tmp = index_path.rstrip("/") + "__compact_tmp"
+    (
+        spark.read.parquet(index_path)
+        .repartition(files_per_band * 32, "band_id", "band_hash")
+        .sortWithinPartitions("band_id", "band_hash")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    fs, jidx = _hadoop_fs(spark, index_path)
+    _, jtmp = _hadoop_fs(spark, tmp)
+    fs.delete(jidx, True)
+    fs.rename(jtmp, jidx)
 
 
 def run_incremental_lsh(
@@ -159,42 +199,60 @@ def run_incremental_lsh(
     bands: int = 32,
     num_perm: int = 128,
     checkpoint: str | None = None,
+    compact_every: int = 16,
 ):
     """foreachBatch driver: each micro-batch's signatures are banded,
     joined against the accumulated band index (parquet), new candidate
     pairs appended, and the batch's bands appended to the index.
 
     This is the streaming shape of lsh_candidate_pairs: batch-vs-history
-    instead of self-join, so each arriving page only pays a probe of the
-    existing index.
+    instead of self-join, so each arriving page only pays one probe of
+    the existing index (batch side broadcast — history never shuffles),
+    plus a batch-internal self-join so same-batch duplicates are not
+    missed. History presence is checked explicitly (``index_exists``):
+    any read error on an EXISTING index — corruption, schema drift,
+    permissions — now fails the batch loudly instead of silently
+    dropping all future pairs. Every ``compact_every`` epochs the
+    append-only index is compacted (``compact_band_index``) so
+    per-batch file-listing cost stops growing with batch count.
     """
     from symspellpy_spark.operators.dedup import _banded
-
-    def process(batch_df: DataFrame, epoch_id: int) -> None:
-        sig = stream_signatures_batch(batch_df, num_perm=num_perm)
-        banded = _banded(sig.select("id", "minhash"), bands, num_perm)
-        try:
-            history = batch_df.sparkSession.read.parquet(index_path)
-            new_pairs = (
-                banded.join(
-                    history.withColumnRenamed("id", "id_b"),
-                    ["band_id", "band_hash"],
-                )
-                .where(F.col("id") != F.col("id_b"))
-                .select(
-                    F.least("id", "id_b").alias("id_a"),
-                    F.greatest("id", "id_b").alias("id_b"),
-                )
-                .distinct()
-            )
-            new_pairs.write.mode("append").parquet(pairs_path)
-        except Exception:
-            pass  # first batch: no history yet
-        banded.write.mode("append").parquet(index_path)
 
     def stream_signatures_batch(batch_df: DataFrame, num_perm: int) -> DataFrame:
         toks = normalized_tokens(batch_df, id_col="url", text_col="text")
         return minhash_signatures(shingles(toks, k=5), num_perm=num_perm)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        sig = stream_signatures_batch(batch_df, num_perm=num_perm)
+        banded = _banded(sig.select("id", "minhash"), bands, num_perm).localCheckpoint()
+        probe = F.broadcast(banded)
+        within = banded.join(
+            probe.select(
+                "band_id", "band_hash", F.col("id").alias("id_b")
+            ),
+            ["band_id", "band_hash"],
+        ).where(F.col("id") < F.col("id_b"))
+        if index_exists(sess, index_path):
+            history = sess.read.parquet(index_path)
+            against_history = probe.join(
+                history.withColumnRenamed("id", "id_b"),
+                ["band_id", "band_hash"],
+            ).where(F.col("id") != F.col("id_b"))
+            cand = within.unionByName(against_history)
+        else:
+            cand = within
+        new_pairs = (
+            cand.select(
+                F.least("id", "id_b").alias("id_a"),
+                F.greatest("id", "id_b").alias("id_b"),
+            )
+            .distinct()
+        )
+        new_pairs.write.mode("append").parquet(pairs_path)
+        banded.write.mode("append").parquet(index_path)
+        if compact_every and (epoch_id + 1) % compact_every == 0:
+            compact_band_index(sess, index_path)
 
     writer = pages_stream.writeStream.foreachBatch(process)
     if checkpoint:

@@ -116,3 +116,47 @@ def test_parity_with_reference_kernels(reference_symspell_module):
         exp_o = [ref_osa.distance(a, b, max_d) for a, b in pairs]
         assert got_l == exp_l
         assert got_o == exp_o
+
+
+def test_banded_random_longer_vs_naive():
+    """Band edges at realistic lookup lengths (5-30 chars, d=2): the
+    banded DP must agree with the full-matrix oracle everywhere."""
+    rng = np.random.default_rng(23)
+    alpha = "abcd"
+    pairs = []
+    for _ in range(400):
+        la = int(rng.integers(0, 30))
+        lb = int(rng.integers(max(0, la - 4), la + 5))
+        a = "".join(rng.choice(list(alpha), size=la))
+        b = "".join(rng.choice(list(alpha), size=lb))
+        pairs.append((a, b))
+    s1 = pd.Series([p[0] for p in pairs])
+    s2 = pd.Series([p[1] for p in pairs])
+    for fn, oracle in (
+        (levenshtein_batch, naive_levenshtein),
+        (damerau_osa_batch, naive_damerau_osa),
+    ):
+        got = fn(s1, s2, 2).tolist()
+        exp = [
+            (lambda d: d if d <= 2 else -1)(oracle(a, b)) for a, b in pairs
+        ]
+        assert got == exp
+
+
+def test_long_string_banded_scattered_diffs():
+    """>256-char pairs take the affix-stripped banded fallback; diffs
+    scattered through the string defeat pure prefix/suffix stripping, so
+    the banded DP itself is exercised."""
+    rng = np.random.default_rng(31)
+    base = list("".join(rng.choice(list("abcdef"), size=400)))
+    b = base.copy()
+    b[50] = "z"
+    b[200], b[201] = b[201], b[200]  # transposition
+    b[350] = "z"
+    a_s, b_s = "".join(base), "".join(b)
+    exp_osa = naive_damerau_osa(a_s, b_s)
+    exp_lev = naive_levenshtein(a_s, b_s)
+    assert damerau_osa_batch(pd.Series([a_s]), pd.Series([b_s]), 6).tolist() == [exp_osa]
+    assert levenshtein_batch(pd.Series([a_s]), pd.Series([b_s]), 6).tolist() == [exp_lev]
+    # below the clamp -> -1
+    assert damerau_osa_batch(pd.Series([a_s]), pd.Series([b_s]), exp_osa - 1).tolist() == [-1]

@@ -214,3 +214,140 @@ def test_streaming_simhash_pairs_stateful(spark, tmp_path):
         for r in simhash_candidate_pairs(sig, max_hamming=8).collect()
     }
     assert got == exp and len(exp) > 0
+
+
+def _incremental_lsh_paths(tmp_path):
+    return (
+        str(tmp_path / "band_index"),
+        str(tmp_path / "pairs"),
+        str(tmp_path / "ckpt"),
+    )
+
+
+def _run_stream_lsh(spark, tmp_path, pages, n_parts=3, **kw):
+    from symspellpy_spark.streaming.stream_dedup import run_incremental_lsh
+
+    src = str(tmp_path / "lsh_src")
+    for i in range(n_parts):
+        pages.where(F.crc32(F.col("url")) % n_parts == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/p{i}")
+    schema = spark.read.parquet(f"{src}/p0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    index_path, pairs_path, ckpt = _incremental_lsh_paths(tmp_path)
+    q = run_incremental_lsh(
+        spark, stream, index_path, pairs_path, checkpoint=ckpt, **kw
+    )
+    try:
+        q.processAllAvailable()
+        exc = q.exception()
+    except Exception as e:  # the query surfaced a batch failure
+        exc = e
+    finally:
+        q.stop()
+    return index_path, pairs_path, exc
+
+
+def test_incremental_lsh_matches_batch_candidates(spark, tmp_path):
+    """Cross-batch + within-batch streaming LSH pairs must equal the
+    batch banded self-join's candidate set on the same corpus."""
+    from symspellpy_spark.operators.dedup import (
+        _banded,
+        minhash_signatures,
+        normalized_tokens,
+        shingles,
+    )
+    from symspellpy_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, n_docs=90, n_base=20, seed=7)
+    index_path, pairs_path, exc = _run_stream_lsh(spark, tmp_path, pages)
+    assert exc is None
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(pairs_path).collect()
+    }
+
+    toks = normalized_tokens(pages, id_col="url", text_col="text")
+    banded = _banded(
+        minhash_signatures(shingles(toks, k=5)).select("id", "minhash"), 32, 128
+    )
+    exp = {
+        tuple(sorted((r["id"], r["id_b"])))
+        for r in banded.join(
+            banded.select(
+                "band_id", "band_hash", F.col("id").alias("id_b")
+            ),
+            ["band_id", "band_hash"],
+        )
+        .where(F.col("id") < F.col("id_b"))
+        .collect()
+    }
+    assert got == exp and len(exp) > 0
+
+
+def test_incremental_lsh_corrupt_index_fails_loudly(spark, tmp_path):
+    """A corrupt EXISTING index must fail the stream, not be silently
+    treated as 'no history'."""
+    import os
+
+    from symspellpy_spark.sources.pages import synthesize_pages
+
+    index_path, _, _ = _incremental_lsh_paths(tmp_path)
+    os.makedirs(index_path)
+    with open(os.path.join(index_path, "part-00000.parquet"), "wb") as f:
+        f.write(b"this is not parquet")
+    pages = synthesize_pages(spark, n_docs=30, n_base=10, seed=9)
+    _, _, exc = _run_stream_lsh(spark, tmp_path, pages, n_parts=1)
+    assert exc is not None
+
+
+def test_incremental_lsh_compaction_bounds_files(spark, tmp_path):
+    """With compact_every=1 the index file count is bounded by the
+    compaction width, not by the number of micro-batches."""
+    import glob
+
+    from symspellpy_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, n_docs=60, n_base=15, seed=13)
+    index_path, pairs_path, exc = _run_stream_lsh(
+        spark, tmp_path, pages, n_parts=4, compact_every=1
+    )
+    assert exc is None
+    files = glob.glob(f"{index_path}/*.parquet")
+    assert 0 < len(files) <= 32
+    # compaction must not lose rows: index still holds every banded row
+    n = spark.read.parquet(index_path).count()
+    assert n > 0
+
+
+def test_streaming_simhash_pairs_long_ids(spark, tmp_path):
+    """Non-string id columns must flow through the stateful operator
+    (output/state schemas are derived from the input id type)."""
+    from symspellpy_spark.sources.pages import synthesize_pages
+    from symspellpy_spark.streaming.stream_dedup import streaming_simhash_pairs
+
+    src = str(tmp_path / "sim_long_src")
+    pages = synthesize_pages(spark, n_docs=40, n_base=10, seed=17).select(
+        F.xxhash64("url").alias("pid"), "text"
+    )
+    pages.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        streaming_simhash_pairs(stream, max_hamming=8, id_col="pid")
+        .writeStream.format("memory")
+        .queryName("sim_pairs_long")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    exc = q.exception()
+    q.stop()
+    assert exc is None
+    rows = spark.sql("SELECT * FROM sim_pairs_long").collect()
+    assert len(rows) > 0
+    assert all(isinstance(r["id_a"], int) for r in rows)

@@ -201,3 +201,26 @@ def test_staged_closest_crosses_stages(spark, small_dict):
         ("steam", 1), ("steama", 1), ("steamb", 1),
         ("steamc", 1), ("steams", 1),
     }
+
+
+def test_repeated_lookup_batch_no_cache_accretion(spark, small_dict):
+    """lookup_batch must not grow executor storage linearly with calls:
+    the staged `near` diamond is persisted generation-scoped (see
+    scoped_cache.py), so the CacheManager holds at most `keep`
+    generations no matter how many calls run."""
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    before = cache_mgr.cachedData().size()
+    qdf = spark.createDataFrame([("steamx",), ("steamy",)], "query string")
+    for _ in range(3):
+        lookup_batch(qdf, small_dict, Verbosity.TOP, max_edit_distance=2).collect()
+    mid = cache_mgr.cachedData().size()
+    assert mid - before <= 2, f"CacheManager grew {before} -> {mid}"
+    for _ in range(4):
+        lookup_batch(qdf, small_dict, Verbosity.TOP, max_edit_distance=2).collect()
+    after = cache_mgr.cachedData().size()
+    assert after <= mid, f"CacheManager kept growing: {mid} -> {after}"
+
+    from symspellpy_spark.operators.scoped_cache import release_scope
+
+    release_scope("lookup_batch.near")
+    assert cache_mgr.cachedData().size() <= before + 0, "release_scope left entries"

@@ -123,3 +123,29 @@ def test_live_parity_d0_fast_path(spark, en_dict2, reference_symspell_module):
     )
     assert got[0]["corrected_string"] == exp.corrected_string
     assert got[0]["distance_sum"] == exp.distance_sum
+
+
+def test_fuzzy_strategies_agree(spark, en_dict2):
+    """The broadcast-LUT fuzzy path and the relational cell-join path
+    must be bit-identical (same lookup_batch LUT, same DP)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "thequickbrownfoxjumpsoverthelazydog"),
+            (2, "itwasabrightcolddayinaprilandtheclockswerestrikingthirteen"),
+            (3, "inadditonI wouldliketo knowabbout"),
+            (4, "xyzzyqwerty"),
+        ],
+        "doc_id long, text string",
+    )
+    cols = ["doc_id", "segmented_string", "corrected_string", "distance_sum", "log_prob_sum"]
+    fast = {
+        r["doc_id"]: tuple(r[c] for c in cols[1:])
+        for r in word_segmentation_batch(docs, en_dict2, max_edit_distance=2).collect()
+    }
+    rel = {
+        r["doc_id"]: tuple(r[c] for c in cols[1:])
+        for r in word_segmentation_batch(
+            docs, en_dict2, max_edit_distance=2, strategy="relational"
+        ).collect()
+    }
+    assert fast == rel
