@@ -225,18 +225,21 @@ def main() -> None:
             n_s / timings["segmentation_en_batch"], 1
         )
 
-        # fuzzy segmentation (d=1) over the same glued docs: one
-        # relational TOP lookup over the distinct substrings feeds a
-        # broadcast LUT; the DP itself stays doc-local (the old
-        # cell-shuffle path is bench-able via strategy="relational")
+        # fuzzy segmentation (d=1) over a 5k-doc subset: cell lookups
+        # resolve worker-locally (full-single-delete candidate gen +
+        # scan verify); the old relational cell-shuffle path remains
+        # bench-able via strategy="relational"
+        sdocs_d1 = sdocs.where(F.col("doc_id") < 5000).localCheckpoint(eager=True)
+        n_s1 = sdocs_d1.count()
         timed(
             "segmentation_en_d1_batch",
             lambda: word_segmentation_batch(
-                sdocs, d, max_edit_distance=1
+                sdocs_d1, d, max_edit_distance=1
             ).count(),
         )
+        timings["segmentation_en_d1_docs"] = n_s1
         timings["segmentation_en_d1_docs_per_sec"] = round(
-            n_s / timings["segmentation_en_d1_batch"], 1
+            n_s1 / timings["segmentation_en_d1_batch"], 1
         )
 
     # --- flagship pipeline over a synthesized parquet pages table ---
@@ -280,6 +283,7 @@ def main() -> None:
         "compound_en_docs_per_sec",
         "segmentation_en_docs",
         "segmentation_en_docs_per_sec",
+        "segmentation_en_d1_docs",
         "segmentation_en_d1_docs_per_sec",
     )
     total = round(sum(v for k, v in timings.items() if k not in non_time), 3)

@@ -102,27 +102,38 @@ class SparkDictionary:
     def load_dictionary(
         cls,
         spark: SparkSession,
-        path: str,
+        path,
         term_index: int = 0,
         count_index: int = 1,
         separator: str = " ",
         config: EngineConfig | None = None,
+        encoding: str | None = None,
+        errors: str | None = None,
     ) -> "SparkDictionary":
-        """Reference S1 ``load_dictionary`` (symspellpy.py:318-356)."""
-        vocab = read_unigram_dictionary(spark, path, term_index, count_index, separator)
+        """Reference S1 ``load_dictionary`` (symspellpy.py:318-356);
+        ``path`` may be a path string, ``Path``, or open text stream,
+        with ``encoding``/``errors`` honored for path inputs."""
+        vocab = read_unigram_dictionary(
+            spark, path, term_index, count_index, separator, encoding, errors
+        )
         return cls.from_words(spark, vocab, config)
 
     @classmethod
     def create_dictionary(
         cls,
         spark: SparkSession,
-        corpus_path: str,
+        corpus_path,
         config: EngineConfig | None = None,
+        encoding: str | None = None,
+        errors: str | None = None,
     ) -> "SparkDictionary":
         """Reference S5 ``create_dictionary`` (symspellpy.py:160-192):
-        tokenize raw text, count occurrences, build the index."""
+        tokenize raw text, count occurrences, build the index. Accepts a
+        path / Path / open text stream like the reference."""
+        from symspellpy_spark.sources.freq_dict import lines_df
+
         tokens = (
-            spark.read.text(corpus_path)
+            lines_df(spark, corpus_path, encoding, errors)
             .select(F.explode(corpus_words_expr(F.col("value"))).alias("term"))
             .where(F.length("term") > 0)
             .select("term", F.lit(1).cast("long").alias("count"))
@@ -157,14 +168,18 @@ class SparkDictionary:
 
     def load_bigram_dictionary(
         self,
-        path: str,
+        path,
         term_index: int = 0,
         count_index: int = 2,
         separator: str | None = None,
+        encoding: str | None = None,
+        errors: str | None = None,
     ) -> "SparkDictionary":
-        """Reference S3 (symspellpy.py:284-316)."""
+        """Reference S3 (symspellpy.py:284-316); path / Path / stream."""
         return self.with_bigrams(
-            read_bigram_dictionary(self.spark, path, term_index, count_index, separator)
+            read_bigram_dictionary(
+                self.spark, path, term_index, count_index, separator, encoding, errors
+            )
         )
 
     # ---------------- derived scalars ----------------

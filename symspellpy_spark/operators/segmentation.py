@@ -575,9 +575,25 @@ def _segmentation_broadcast_fuzzy(
         if state is None:
             words = bc.value
             index: dict[str, list[str]] = {}
-            for t in words:
-                for k in _delete_neighborhood_local(t, d_, p_):
-                    index.setdefault(k, []).append(t)
+            if d_ == 1:
+                # d=1 candidate generation uses FULL single deletes, not
+                # the prefix-truncated neighborhood: any OSA-distance-1
+                # pair shares a full single delete (deletion/insertion:
+                # the shorter IS a delete of the longer; substitution at
+                # i: delete i from both; adjacent transposition at i:
+                # delete i from one, i+1 from the other). Prefix buckets
+                # conflate every term sharing a 7-prefix regardless of
+                # tail — orders of magnitude more false candidates. Both
+                # generators are supersets of the true match set and the
+                # exact verify filters to it, so results are identical.
+                for t in words:
+                    index.setdefault(t, []).append(t)
+                    for i in range(len(t)):
+                        index.setdefault(t[:i] + t[i + 1 :], []).append(t)
+            else:
+                for t in words:
+                    for k in _delete_neighborhood_local(t, d_, p_):
+                        index.setdefault(k, []).append(t)
             state = (words, index, {})
             _WORKER_LOOKUP_STATE.clear()  # one dictionary per worker
             _WORKER_LOOKUP_STATE[key] = state
@@ -588,11 +604,53 @@ def _segmentation_broadcast_fuzzy(
         def candidates_of(q: str) -> list[str]:
             lq = len(q)
             cands: set[str] = set()
-            for k in _delete_neighborhood_local(q, d_, p_):
+            if d_ == 1:
+                probes = [q] + [q[:i] + q[i + 1 :] for i in range(lq)]
+            else:
+                probes = _delete_neighborhood_local(q, d_, p_)
+            for k in probes:
                 for t in index.get(k, ()):
                     if abs(len(t) - lq) <= d_:
                         cands.add(t)
             return sorted(cands)
+
+        def within_one(q: str, t: str) -> bool:
+            """Exact distance<=1 test (both kernels agree at d=1 except
+            the transposition case, gated on the algorithm)."""
+            lq, lt = len(q), len(t)
+            if lq == lt:
+                i = 0
+                while i < lq and q[i] == t[i]:
+                    i += 1
+                if q[i + 1 :] == t[i + 1 :]:
+                    return True  # single substitution
+                return (
+                    transpositions
+                    and i + 1 < lq
+                    and q[i] == t[i + 1]
+                    and q[i + 1] == t[i]
+                    and q[i + 2 :] == t[i + 2 :]
+                )
+            s, l = (q, t) if lq < lt else (t, q)
+            i = 0
+            ls = len(s)
+            while i < ls and s[i] == l[i]:
+                i += 1
+            return s[i:] == l[i + 1 :]
+
+        def resolve_fuzzy_d1(q: str):
+            """d=1 TOP without the DP kernel: q is OOV here, so every
+            match has distance exactly 1 and the TOP tie-break
+            (distance ASC, count DESC, term ASC) reduces to: first
+            verified candidate in (count DESC, term ASC) order."""
+            cl = candidates_of(q)
+            if not cl:
+                return None
+            cl.sort(key=lambda t: (-words[t], t))
+            for t in cl:
+                if within_one(q, t):
+                    return (t, 1, words[t])
+            return None
 
         def pick_best(cl: list[str], dists) -> tuple[str, int, int] | None:
             best = None
@@ -615,6 +673,8 @@ def _segmentation_broadcast_fuzzy(
                 return (q, 0, 1)
             if len(q) - d_ > dict_max_len:
                 return None
+            if d_ == 1:
+                return resolve_fuzzy_d1(q)
             cl = candidates_of(q)
             if not cl:
                 return None
@@ -659,6 +719,9 @@ def _segmentation_broadcast_fuzzy(
                     continue
                 if len(q) - d_ > dict_max_len:
                     cache[q] = None
+                    continue
+                if d_ == 1:
+                    cache[q] = resolve_fuzzy_d1(q)
                     continue
                 cl = candidates_of(q)
                 if not cl:

@@ -15,9 +15,22 @@ a 100 GB dictionary file would load as a normal distributed scan.
 
 from __future__ import annotations
 
+import os
+from pathlib import Path
+from typing import IO
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["read_unigram_dictionary", "read_bigram_dictionary", "dict_to_df"]
+__all__ = [
+    "read_unigram_dictionary",
+    "read_bigram_dictionary",
+    "dict_to_df",
+    "lines_df",
+]
+
+#: corpus argument accepted everywhere the reference accepts one
+#: (symspellpy.py:318-356: path string / Path / opened text stream)
+Corpus = "str | Path | IO[str]"
 
 
 def _split_col(separator: str):
@@ -27,15 +40,44 @@ def _split_col(separator: str):
     return re.escape(separator)
 
 
+def lines_df(
+    spark: SparkSession,
+    corpus: str | Path | IO[str],
+    encoding: str | None = None,
+    errors: str | None = None,
+) -> DataFrame:
+    """One ``value STRING`` row per line of ``corpus``.
+
+    Reference parity (symspellpy.py:160-192, 284-356): ``corpus`` may be
+    a path, a ``Path``, or an already-open text stream;
+    ``encoding``/``errors`` control decoding for path inputs. UTF-8
+    paths take the distributed ``spark.read.text`` scan (the 100 GB
+    path); other encodings and IO objects are decoded driver-side and
+    parallelized — those inputs are inherently driver-local anyway (an
+    IO[str] cannot be opened on executors), so this is API parity, not
+    the scale path.
+    """
+    if isinstance(corpus, (str, Path)) and encoding in (None, "utf-8", "utf8", "UTF-8") and errors is None:
+        return spark.read.text(os.fspath(corpus))
+    if isinstance(corpus, (str, Path)):
+        text = Path(corpus).read_text(encoding=encoding, errors=errors)
+        lines = text.splitlines()
+    else:
+        lines = [line.rstrip("\r\n") for line in corpus]
+    return spark.createDataFrame([(l,) for l in lines], "value string")
+
+
 def read_unigram_dictionary(
     spark: SparkSession,
-    path: str,
+    path: str | Path | IO[str],
     term_index: int = 0,
     count_index: int = 1,
     separator: str = " ",
+    encoding: str | None = None,
+    errors: str | None = None,
 ) -> DataFrame:
     """-> vocab rows ``(term STRING, count LONG)``; malformed lines dropped."""
-    lines = spark.read.text(path)
+    lines = lines_df(spark, path, encoding, errors)
     parts = F.split(F.col("value"), _split_col(separator))
     df = lines.select(
         F.element_at(parts, term_index + 1).alias("term"),
@@ -54,13 +96,15 @@ def read_unigram_dictionary(
 
 def read_bigram_dictionary(
     spark: SparkSession,
-    path: str,
+    path: str | Path | IO[str],
     term_index: int = 0,
     count_index: int = 2,
     separator: str | None = None,
+    encoding: str | None = None,
+    errors: str | None = None,
 ) -> DataFrame:
     """-> bigram rows ``(bigram STRING, count LONG)``."""
-    lines = spark.read.text(path)
+    lines = lines_df(spark, path, encoding, errors)
     if separator is None:
         parts = F.split(F.trim(F.col("value")), r"\s+")
         df = lines.select(

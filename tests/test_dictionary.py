@@ -121,3 +121,38 @@ def test_save_load_roundtrip(spark, tmp_path):
     assert sorted(r["term"] for r in d2.words.collect()) == ["steam", "steams"]
     assert d2.deletes.count() == d.deletes.count()
     assert d2.config.prefix_length == 7
+
+
+def test_loaders_accept_streams_and_encodings(spark, tmp_path):
+    """Reference parity (symspellpy.py:160-192,284-356): loaders accept
+    open text streams and path inputs with explicit encodings."""
+    import io
+
+    from symspellpy_spark.operators.dictionary import SparkDictionary
+
+    stream = io.StringIO("cafe 7\nnaive 3\nbad x\n")
+    d = SparkDictionary.load_dictionary(spark, stream)
+    got = {r["term"]: r["count"] for r in d.words.collect()}
+    assert got == {"cafe": 7, "naive": 3}
+
+    lat = tmp_path / "latin.txt"
+    lat.write_bytes("café 5\nüber 2\n".encode("latin-1"))
+    d2 = SparkDictionary.load_dictionary(spark, str(lat), encoding="latin-1")
+    got2 = {r["term"]: r["count"] for r in d2.words.collect()}
+    assert got2 == {"café": 5, "über": 2}
+
+    # errors= is honored (decode failure replaced, not raised)
+    d3 = SparkDictionary.load_dictionary(
+        spark, str(lat), encoding="ascii", errors="replace"
+    )
+    assert d3.words.count() == 2
+
+    corpus = io.StringIO("the cat\nthe dog\n")
+    d4 = SparkDictionary.create_dictionary(spark, corpus)
+    got4 = {r["term"]: r["count"] for r in d4.words.collect()}
+    assert got4 == {"the": 2, "cat": 1, "dog": 1}
+
+    bi = io.StringIO("of the 100\nin a 50\n")
+    d5 = d.load_bigram_dictionary(bi)
+    got5 = {r["bigram"]: r["count"] for r in d5.bigrams.collect()}
+    assert got5 == {"of the": 100, "in a": 50}

@@ -138,14 +138,19 @@ def test_fuzzy_strategies_agree(spark, en_dict2):
         "doc_id long, text string",
     )
     cols = ["doc_id", "segmented_string", "corrected_string", "distance_sum", "log_prob_sum"]
-    fast = {
-        r["doc_id"]: tuple(r[c] for c in cols[1:])
-        for r in word_segmentation_batch(docs, en_dict2, max_edit_distance=2).collect()
-    }
-    rel = {
-        r["doc_id"]: tuple(r[c] for c in cols[1:])
-        for r in word_segmentation_batch(
-            docs, en_dict2, max_edit_distance=2, strategy="relational"
-        ).collect()
-    }
-    assert fast == rel
+    # d=1 exercises the full-single-delete candidate generator; d=2 the
+    # prefix-neighborhood generator — both must match the relational path
+    for dd in (1, 2):
+        fast = {
+            r["doc_id"]: tuple(r[c] for c in cols[1:])
+            for r in word_segmentation_batch(
+                docs, en_dict2, max_edit_distance=dd
+            ).collect()
+        }
+        rel = {
+            r["doc_id"]: tuple(r[c] for c in cols[1:])
+            for r in word_segmentation_batch(
+                docs, en_dict2, max_edit_distance=dd, strategy="relational"
+            ).collect()
+        }
+        assert fast == rel, dd
