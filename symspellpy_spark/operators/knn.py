@@ -1,12 +1,16 @@
 """Similarity search over embedding columns (``array<float>``).
 
-Two paths, per the training-data-pipeline requirements:
+Three paths, per the training-data-pipeline requirements:
 - :func:`cosine_topk` — exact brute-force top-k (the baseline): dot
   products via zip_with/aggregate, all JVM-side; queries broadcast.
-- :func:`lsh_cosine_topk` — the scale path: random-hyperplane (sign)
+- :func:`lsh_cosine_topk` — scale path A: random-hyperplane (sign)
   LSH buckets candidates first, so each query only scores vectors
   sharing a bucket; exact cosine re-rank inside candidates. Multi-probe
   via several independent tables keeps recall high.
+- :func:`ivf_cosine_topk` — scale path B: IVF — a sample-trained
+  cosine-k-means coarse quantizer partitions the corpus into centroid
+  lists; queries probe their n_probe nearest lists and re-rank exactly.
+  The list assignment is a natural storage partitioning key at 100 TB.
 
 No reference analogue (SURVEY.md §2.6): embeddings are out of scope for
 symspellpy; this is the embedding-space twin of its delete-key
@@ -20,7 +24,14 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import ArrayType, LongType
 
-__all__ = ["cosine_topk", "lsh_cosine_topk", "hyperplane_signatures"]
+__all__ = [
+    "cosine_topk",
+    "lsh_cosine_topk",
+    "hyperplane_signatures",
+    "ivf_fit_centroids",
+    "ivf_assign",
+    "ivf_cosine_topk",
+]
 
 
 def _to_double(col):
@@ -137,6 +148,126 @@ def lsh_cosine_topk(
         qs.join(cs, "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cos", _cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def ivf_fit_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 64,
+    sample: int = 20_000,
+    iters: int = 10,
+    seed: int = 7,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """IVF coarse quantizer: spherical k-means on a bounded sample.
+
+    The sample (not the corpus) is collected — index TRAINING is a
+    bounded-size driver job by design (FAISS trains IVF on a sample
+    too); ASSIGNMENT and SEARCH stay distributed. Deterministic in
+    (seed, sample): k-means++-free Lloyd's with seeded init, vectors and
+    centroids L2-normalized each round (cosine k-means).
+    """
+    rows = (
+        corpus.select(vec_col)
+        .limit(sample)
+        .toPandas()[vec_col]
+        .tolist()
+    )
+    x = np.asarray(rows, dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    k = min(n_centroids, len(x))
+    cents = x[rng.choice(len(x), size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 1e-12:
+                    cents[c] = v / n
+    return cents
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (id_col, vec (double), centroid_id) with ``n_probe`` rows per
+    vector (nearest centroids by cosine). One Arrow-batched matmul per
+    batch; the corpus side uses n_probe=1 (each vector lives in ONE
+    list), query sides probe several."""
+    cents = centroids
+    bc_holder = {}
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _nearest(vecs):
+        c = bc_holder.get("c")
+        if c is None:
+            c = np.asarray(cents, dtype=np.float64)
+            bc_holder["c"] = c
+        out = []
+        for v in vecs:
+            if v is None:
+                out.append([])
+                continue
+            x = np.asarray(v, dtype=np.float64)
+            n = np.linalg.norm(x)
+            if n > 1e-12:
+                x = x / n
+            sims = x @ c.T
+            top = np.argsort(-sims)[:n_probe]
+            out.append([int(t) for t in top])
+        return pd.Series(out, index=vecs.index)
+
+    return df.select(
+        F.col(id_col),
+        _to_double(F.col(vec_col)).alias("vec"),
+        F.explode(_nearest(F.col(vec_col))).alias("centroid_id"),
+    )
+
+
+def ivf_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF index: corpus partitioned into
+    centroid lists (one list per vector), queries probe their
+    ``n_probe`` nearest lists, exact cosine re-rank inside the probed
+    lists. The centroid equi-join replaces the brute-force cross join —
+    at 100 TB the corpus side can additionally be WRITTEN partitioned by
+    ``centroid_id`` so a probe prunes to n_probe/k of the files."""
+    qs = ivf_assign(queries, centroids, n_probe, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("vec").alias("qv"),
+        "centroid_id",
+    )
+    cs = ivf_assign(corpus, centroids, 1, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("vec").alias("cv"),
+        "centroid_id",
+    )
+    cand = (
+        qs.join(cs, "centroid_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", _cosine(F.col("qv"), F.col("cv")))
     )
     w = Window.partitionBy("query_id").orderBy(

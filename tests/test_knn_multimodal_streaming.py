@@ -351,3 +351,31 @@ def test_streaming_simhash_pairs_long_ids(spark, tmp_path):
     rows = spark.sql("SELECT * FROM sim_pairs_long").collect()
     assert len(rows) > 0
     assert all(isinstance(r["id_a"], int) for r in rows)
+
+
+def test_ivf_cosine_topk_recall_clustered(spark):
+    """IVF (cosine k-means lists + n_probe search) recall on clustered
+    vectors vs brute force."""
+    from symspellpy_spark.operators.knn import ivf_cosine_topk, ivf_fit_centroids
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((30, 64))
+    vecs = []
+    for i in range(360):
+        c = centers[i % 30]
+        vecs.append((i, (c + 0.12 * rng.standard_normal(64)).astype("float32").tolist()))
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    rows = [{"vec_id": v[0], "embedding": v[1]} for v in vecs]
+    oracle = brute_force_topk(rows, k=5)
+    cents = ivf_fit_centroids(emb, n_centroids=30, seed=3)
+    q = emb.where(F.col("vec_id") < 40)
+    got = ivf_cosine_topk(q, emb, cents, k=5, n_probe=4).collect()
+    got_map = {}
+    for r in got:
+        got_map.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = total = 0
+    for qid in range(40):
+        want = set(oracle[qid])
+        hits += len(want & got_map.get(qid, set()))
+        total += len(want)
+    assert hits / total >= 0.9, hits / total
