@@ -48,16 +48,22 @@ def run(cpus: int) -> dict:
         BENCH_REPS=BENCH_REPS,
         SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "40g"),
     )
-    out = subprocess.run(
+    proc = subprocess.run(
         [sys.executable, "bench.py"],
         env=env,
         stdout=subprocess.PIPE,
-        stderr=subprocess.DEVNULL,
+        stderr=subprocess.PIPE,
         text=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
         timeout=3600,
-    ).stdout
-    return json.loads([l for l in out.strip().splitlines() if l.startswith("{")][-1])
+    )
+    lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(
+            f"bench.py (cpus={cpus}) produced no JSON line, rc={proc.returncode}\n"
+            + proc.stderr[-3000:]
+        )
+    return json.loads(lines[-1])
 
 
 def main() -> None:

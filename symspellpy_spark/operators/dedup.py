@@ -997,6 +997,7 @@ def jaccard_verify(
     threshold: float = 0.7,
     hashes_col: str = "shingle_hashes",
     minhash_prefilter_margin: float | None = 0.2,
+    two_phase: bool = False,
 ) -> DataFrame:
     """Verify candidate pairs with *exact* shingle-set Jaccard.
 
@@ -1027,6 +1028,49 @@ def jaccard_verify(
     # partitioning first.
     spark = pairs.sparkSession
     pairs = pairs.repartition(spark.sparkContext.defaultParallelism * 2, "id_a")
+
+    def _est(ma, mb):
+        return F.aggregate(
+            F.zip_with(ma, mb, lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ) / F.size(ma)
+
+    if use_prefilter and two_phase:
+        # Two-phase verify for callers whose signatures relation is
+        # cheap to re-scan (the pipeline checkpoints it): phase 1 joins
+        # ONLY the 128-long minhash per side and drops estimate-far
+        # pairs; phase 2 joins the fat shingle arrays for survivors
+        # only. The fat arrays (the dominant shuffle bytes of the
+        # stage) are never shipped for pairs the prefilter kills.
+        mh = signatures.select("id", "minhash")
+        est_pairs = (
+            pairs.join(mh.select(F.col("id").alias("id_a"), F.col("minhash").alias("_ma")), "id_a")
+            .join(mh.select(F.col("id").alias("id_b"), F.col("minhash").alias("_mb")), "id_b")
+            .where(
+                _est(F.col("_ma"), F.col("_mb"))
+                >= F.lit(threshold - minhash_prefilter_margin)
+            )
+            .drop("_ma", "_mb")
+        )
+        sh = signatures.select("id", hashes_col)
+        joined = est_pairs.join(
+            sh.select(F.col("id").alias("id_a"), F.col(hashes_col).alias("_ha")),
+            "id_a",
+        ).join(
+            sh.select(F.col("id").alias("id_b"), F.col(hashes_col).alias("_hb")),
+            "id_b",
+        )
+        return (
+            joined.withColumn(
+                "jaccard",
+                F.size(F.array_intersect("_ha", "_hb"))
+                / F.size(F.array_union("_ha", "_hb")),
+            )
+            .drop("_ha", "_hb")
+            .where(F.col("jaccard") >= threshold)
+        )
+
     cols = ["id", hashes_col] + (["minhash"] if use_prefilter else [])
     sig = signatures.select(*cols)
     a = sig.select(
@@ -1041,13 +1085,9 @@ def jaccard_verify(
     )
     joined = pairs.join(a, "id_a").join(b, "id_b")
     if use_prefilter:
-        est = F.aggregate(
-            F.zip_with("_ma", "_mb", lambda x, y: (x == y).cast("int")),
-            F.lit(0),
-            lambda acc, v: acc + v,
-        ) / F.size("_ma")
         joined = joined.where(
-            est >= F.lit(threshold - minhash_prefilter_margin)
+            _est(F.col("_ma"), F.col("_mb"))
+            >= F.lit(threshold - minhash_prefilter_margin)
         ).drop("_ma", "_mb")
     return (
         joined.withColumn(

@@ -323,8 +323,11 @@ class DedupPipeline:
         sig = self.signatures(pages)
         pairs = self.candidate_pairs(pages).localCheckpoint(eager=False)
         self._metric_count("candidates", pairs)
+        # two_phase: signatures are checkpointed here, so the extra
+        # narrow-minhash join is a cheap re-scan and the fat shingle
+        # arrays are only shuffled for pairs that survive the estimate
         verified = jaccard_verify(
-            pairs, sig, threshold=self.config.jaccard_threshold
+            pairs, sig, threshold=self.config.jaccard_threshold, two_phase=True
         ).select("id_a", "id_b", "jaccard", "sources")
         # exact-substring / exact-hash pairs are kept even below the
         # Jaccard threshold: containment, not symmetric similarity

@@ -169,3 +169,30 @@ def test_connected_components_singletons(spark):
         for r in connected_components(edges, vertices=verts).collect()
     }
     assert got == {1: 1, 2: 1, 9: 9}
+
+
+def test_jaccard_verify_two_phase_equals_single(spark):
+    """two_phase=True (narrow-minhash prefilter join, fat arrays only
+    for survivors) must produce exactly the single-phase result."""
+    from symspellpy_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        normalized_tokens,
+        shingles,
+    )
+    from symspellpy_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, n_docs=80, n_base=20, seed=21)
+    toks = normalized_tokens(pages, id_col="url", text_col="text")
+    sig = minhash_signatures(shingles(toks, k=5)).localCheckpoint()
+    cand = lsh_candidate_pairs(sig, bands=32, num_perm=128)
+    one = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 12))
+        for r in jaccard_verify(cand, sig, threshold=0.6).collect()
+    }
+    two = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 12))
+        for r in jaccard_verify(cand, sig, threshold=0.6, two_phase=True).collect()
+    }
+    assert one == two and len(one) > 0

@@ -81,3 +81,44 @@ def test_bucketed_index_join_skips_index_exchange(spark, tmp_path):
     finally:
         for t in ("deletes", "words", "props"):
             spark.sql(f"DROP TABLE IF EXISTS ps_bucketed_dict_{t}")
+
+
+def test_ann_plans_have_no_cartesian(spark):
+    """Both ANN scale paths must pair candidates via an equi-join on the
+    bucket key — a cartesian/nested-loop node means the scale path
+    degenerated to the brute-force baseline."""
+    import numpy as np
+
+    from symspellpy_spark.operators.knn import (
+        ivf_cosine_topk,
+        lsh_cosine_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    lsh_plan = _physical(lsh_cosine_topk(q, emb, dim=64, k=5, n_tables=2, n_bits=6))
+    cents = np.eye(8, 64)  # fixed quantizer: plan shape is all that matters
+    ivf_plan = _physical(ivf_cosine_topk(q, emb, cents, k=5, n_probe=2))
+    for name, plan in (("lsh", lsh_plan), ("ivf", ivf_plan)):
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+
+
+def test_fuzzy_segmentation_default_plan_is_join_free(spark):
+    """The worker-local fuzzy path must not plan any join or
+    per-substring relation: one MapInPandas over (doc_id, phrase) rows,
+    at most a round-robin repartition."""
+    from symspellpy_spark.operators.segmentation import word_segmentation_batch
+
+    words = spark.createDataFrame(
+        [("steam", 10), ("spark", 5), ("stream", 7)], "term string, count long"
+    )
+    d = SparkDictionary.from_words(spark, words)
+    docs = spark.createDataFrame([(1, "steamspark")], "doc_id long, text string")
+    plan = _physical(word_segmentation_batch(docs, d, max_edit_distance=1))
+    assert "Join" not in plan, plan
+    assert "MapInPandas" in plan, plan
+    rel_plan = _physical(
+        word_segmentation_batch(docs, d, max_edit_distance=1, strategy="relational")
+    )
+    assert "Join" in rel_plan  # the fallback shape really is relational
