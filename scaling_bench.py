@@ -92,6 +92,25 @@ def main() -> None:
             "speedup": round(ts / tb, 2),
             "efficiency": round(ts / (4 * tb), 3),
         }
+    # Per-workload efficiencies from the same two runs: rates scale as
+    # eff = rate(4N) / (4 * rate(N)). Compute-dominated workloads
+    # (compound's per-document fold + kernels) should approach 1.0;
+    # join/scan-dominated ones sit on the host bandwidth wall.
+    workload_eff = {}
+    for k in (
+        "lookup_en_qps",
+        "compound_en_docs_per_sec",
+        "segmentation_en_docs_per_sec",
+        "segmentation_en_d1_docs_per_sec",
+    ):
+        qs = small["queries"].get(k)
+        qb = big["queries"].get(k)
+        if qs and qb:
+            workload_eff[k] = {
+                "small": qs,
+                "big": qb,
+                "efficiency": round(qb / (4 * qs), 3),
+            }
     result = {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -104,6 +123,7 @@ def main() -> None:
         "pipeline_sec_big": big["pipeline_sec"],
         "speedup": round(tp_big / tp_small, 2),
         "stage_efficiency": stage_eff,
+        "workload_efficiency": workload_eff,
         "reps": reps,
         "bench_reps_per_run": int(BENCH_REPS),
         "all_docs_per_sec_small": [r["docs_per_sec"] for r in smalls],

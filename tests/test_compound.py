@@ -150,3 +150,25 @@ def test_empty_and_trivial_docs(spark):
     assert got[0]["term"] == ""
     assert got[1]["term"] == "hello world"
     assert got[2]["term"] == "zzzz" and got[2]["distance"] == 0 and got[2]["count"] == 0
+
+
+def test_repeated_compound_no_cache_accretion(spark, en_dict_uni):
+    """lookup_compound_batch's shared LUT is generation-scoped: repeated
+    calls must not grow the CacheManager unboundedly."""
+    from symspellpy_spark.operators.compound import lookup_compound_batch
+
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    docs = spark.createDataFrame(
+        [(1, "whereis th elove"), (2, "the bigjest playrs")],
+        "doc_id long, text string",
+    )
+    before = cache_mgr.cachedData().size()
+    for _ in range(3):
+        lookup_compound_batch(docs, en_dict_uni, max_edit_distance=2).collect()
+    mid = cache_mgr.cachedData().size()
+    # each call may keep `keep` generations per scope (compound.lut and
+    # the nested lookup_batch.near), but the count must not grow per call
+    for _ in range(3):
+        lookup_compound_batch(docs, en_dict_uni, max_edit_distance=2).collect()
+    after = cache_mgr.cachedData().size()
+    assert after <= mid, (before, mid, after)

@@ -154,3 +154,25 @@ def test_fuzzy_strategies_agree(spark, en_dict2):
             ).collect()
         }
         assert fast == rel, dd
+
+
+def test_fuzzy_ignore_pattern_strategies_agree(spark, en_dict2):
+    """ignore_pattern must behave identically in the worker-local and
+    relational fuzzy paths (exact-hit-beats-ignore ordering included)."""
+    docs = spark.createDataFrame(
+        [(1, "see xk42z thequickfox"), (2, "abc123def and42and")],
+        "doc_id long, text string",
+    )
+    cols = ["segmented_string", "corrected_string", "distance_sum", "log_prob_sum"]
+    kw = dict(max_edit_distance=1, ignore_pattern=r"\w*\d\w*")
+    fast = {
+        r["doc_id"]: tuple(r[c] for c in cols)
+        for r in word_segmentation_batch(docs, en_dict2, **kw).collect()
+    }
+    rel = {
+        r["doc_id"]: tuple(r[c] for c in cols)
+        for r in word_segmentation_batch(
+            docs, en_dict2, strategy="relational", **kw
+        ).collect()
+    }
+    assert fast == rel
