@@ -325,6 +325,59 @@ def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
 
 
+_IVF_K, _IVF_CENTROIDS, _IVF_PROBE, _IVF_SAMPLE, _IVF_ITERS, _IVF_SEED = (
+    5,
+    8,
+    3,
+    400,
+    10,
+    7,
+)
+
+
+def _ivf_centroids_from(vecs) -> "object":
+    """Shared quantizer fit: identical numpy ops on identical input on
+    both the Spark side and the oracle side -> bit-identical centroids."""
+    import numpy as np
+
+    x = np.asarray(vecs, dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(_IVF_SEED)
+    k = min(_IVF_CENTROIDS, len(x))
+    cents = x[rng.choice(len(x), size=k, replace=False)]
+    for _ in range(_IVF_ITERS):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 1e-12:
+                    cents[c] = v / n
+    return cents
+
+
+def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path B: IVF (operators/knn.py) — coarse-quantizer
+    lists + n_probe search + exact re-rank, oracle-checked EXACTLY: the
+    quantizer is fit on a deterministic (vec_id-ordered) sample with
+    fixed-seed numpy Lloyd's, so the oracle refits the identical
+    centroids, embeds them as literals, and replays list assignment,
+    the probe equi-join and the re-rank in SQL."""
+    from symspellpy_spark.operators.knn import ivf_cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    sample = [
+        r["embedding"]
+        for r in emb.orderBy("vec_id").limit(_IVF_SAMPLE).collect()
+    ]
+    cents = _ivf_centroids_from(sample)
+    q = emb.where(F.col("vec_id") < 10)
+    return ivf_cosine_topk(
+        q, emb, cents, k=_IVF_K, n_probe=_IVF_PROBE
+    ).select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: token counts + length ratios per document."""
     docs = _read(spark, sf_dir, "documents")
@@ -739,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "embedding_topk": q_embedding_topk,
         "lsh_cosine_topk": q_lsh_cosine_topk,
+        "ivf_cosine_topk": q_ivf_cosine_topk,
         "text_quality": q_text_quality,
         "langid": q_langid,
         "sessionize": q_sessionize,
@@ -817,6 +871,73 @@ def _lsh_cosine_topk_oracle() -> str:
             PARTITION BY query_id ORDER BY cos DESC, neighbor_id
         ) AS rank FROM scored
     ) WHERE rank <= {_LSH_K}"""
+
+
+def _ivf_cosine_topk_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Exact SQL replication of q_ivf_cosine_topk at the driver's gate
+    scale: refits the identical centroids (same numpy ops on the same
+    vec_id-ordered sample), embeds them as double literals, and replays
+    list assignment (top-sim centroid per corpus vector, top-n_probe per
+    query vector — normalization skipped: it scales every sim of a
+    vector by the same positive factor, leaving the order unchanged),
+    the centroid_id equi-join and the exact-cosine re-rank."""
+    import duckdb
+
+    con = duckdb.connect()
+    sample = con.execute(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"ORDER BY vec_id LIMIT {_IVF_SAMPLE}"
+    ).fetchall()
+    cents = _ivf_centroids_from([r[0] for r in sample])
+    k, dim = cents.shape
+    lit = "[" + ",".join(repr(float(w)) for w in cents.reshape(-1)) + "]"
+    return f"""
+    WITH cent AS (
+        SELECT i // {dim} AS cid, i % {dim} AS d, flat[i + 1] AS w
+        FROM (SELECT {lit} AS flat), unnest(range(0, {k * dim})) AS t(i)
+    ),
+    sims AS (
+        SELECT v.vec_id, c.cid,
+               sum(CAST(v.embedding[c.d + 1] AS DOUBLE) * c.w) AS sim
+        FROM embeddings v, cent c GROUP BY v.vec_id, c.cid
+    ),
+    corpus_assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, cid
+            ) AS rn FROM sims
+        ) WHERE rn = 1
+    ),
+    query_assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, cid
+            ) AS rn FROM sims WHERE vec_id < 10
+        ) WHERE rn <= {_IVF_PROBE}
+    ),
+    cand AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM query_assign q JOIN corpus_assign c USING (cid)
+        WHERE q.vec_id != c.vec_id
+    ),
+    flatp AS (
+        SELECT cd.query_id, cd.neighbor_id,
+               CAST(unnest(qv.embedding) AS DOUBLE) AS a,
+               CAST(unnest(nv.embedding) AS DOUBLE) AS b
+        FROM cand cd
+        JOIN embeddings qv ON qv.vec_id = cd.query_id
+        JOIN embeddings nv ON nv.vec_id = cd.neighbor_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               sum(a * b) / (sqrt(sum(a * a)) * sqrt(sum(b * b))) AS cos
+        FROM flatp GROUP BY query_id, neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+        ) AS rank FROM scored
+    ) WHERE rank <= {_IVF_K}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -966,6 +1087,7 @@ def oracle_sql() -> dict[str, str]:
            min(ts_s) AS start_s, max(ts_s) AS end_s
     FROM sess GROUP BY user_id, session_idx""",
         "lsh_cosine_topk": _lsh_cosine_topk_oracle(),
+        "ivf_cosine_topk": _ivf_cosine_topk_oracle(),
         "embedding_dup_pairs": """
     WITH pairs AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS va, b.embedding AS vb
