@@ -80,12 +80,11 @@ def extract_features(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                payload = row[payload_col]
+            # decode is inherently per-row; zip over columns avoids the
+            # per-row Series construction cost of iterrows
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
                 if payload is None:
-                    rows.append(
-                        {id_col: row[id_col], "features": None, "height": 0, "width": 0}
-                    )
+                    rows.append((rid, None, 0, 0))
                     continue
                 img = decoder(bytes(payload))
                 h, w = img.shape[0], img.shape[1]
@@ -94,15 +93,10 @@ def extract_features(
                     feats = pooled[:feature_dim]
                 else:
                     feats = np.pad(pooled, (0, feature_dim - pooled.size))
-                rows.append(
-                    {
-                        id_col: row[id_col],
-                        "features": (feats / 255.0).tolist(),
-                        "height": h,
-                        "width": w,
-                    }
-                )
-            yield pd.DataFrame(rows)
+                rows.append((rid, (feats / 255.0).tolist(), h, w))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "features", "height", "width"]
+            )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
 
