@@ -734,6 +734,41 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model coverage scoring for training-data quality: per
+    document, how many of its adjacent-token bigrams are corpus-frequent
+    (count >= 2) and how frequent (exact integer sum — float log-prob
+    sums are deliberately avoided so the oracle compares exactly).
+    Engine shape: corpus bigram table (one groupBy) broadcast against
+    per-doc exploded pairs; the doc-side aggregation is map-side
+    partial."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0).alias("ts"),
+    ).where(F.size("ts") >= 2)
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("ts", 1, F.size("ts") - 1),
+                F.slice("ts", 2, F.size("ts") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram"),
+    )
+    bigrams = q_bigram_build(spark, sf_dir).withColumnRenamed("count", "bcount")
+    return (
+        pairs.join(F.broadcast(bigrams), "bigram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum((F.col("bcount") >= 2).cast("long")).alias("n_frequent"),
+            F.sum("bcount").alias("sum_pair_count"),
+        )
+    )
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace words + BPE-ish symbol split."""
     docs = _read(spark, sf_dir, "documents")
@@ -811,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_extract": q_props_extract,
         "revenue_rollup": q_revenue_rollup,
         "lang_term_overlap": q_lang_term_overlap,
+        "lm_bigram_coverage": q_lm_bigram_coverage,
         "token_count": q_token_count,
         "doc_fingerprints": q_doc_fingerprints,
         "shingle_count": q_shingle_count,
@@ -1104,6 +1140,32 @@ def oracle_sql() -> dict[str, str]:
         FROM flat GROUP BY id_a, id_b
     )
     SELECT id_a, id_b FROM scored WHERE cos >= 0.35""",
+        "lm_bigram_coverage": f"""
+    WITH tok AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS ts
+        FROM documents
+    ),
+    corpus_pairs AS (
+        SELECT ts[i] || ' ' || ts[i+1] AS bigram
+        FROM (SELECT ts, unnest(range(1, len(ts))) AS i
+              FROM tok WHERE len(ts) >= 2)
+    ),
+    bigrams AS (
+        SELECT bigram, CAST(count(*) AS BIGINT) AS bcount
+        FROM corpus_pairs GROUP BY bigram
+    ),
+    doc_pairs AS (
+        SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bigram
+        FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+              FROM tok WHERE len(ts) >= 2)
+    )
+    SELECT d.doc_id,
+           count(*) AS n_pairs,
+           CAST(sum(CASE WHEN b.bcount >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_frequent,
+           CAST(sum(b.bcount) AS BIGINT) AS sum_pair_count
+    FROM doc_pairs d LEFT JOIN bigrams b USING (bigram)
+    GROUP BY d.doc_id""",
         "token_count": """
     SELECT doc_id,
            CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INTEGER) AS n_word_tokens,
