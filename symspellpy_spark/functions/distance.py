@@ -37,17 +37,32 @@ __all__ = [
 # longer pairs fall back to a per-row banded DP.
 _BATCH_LEN_CAP = 256
 
+# Below this length the per-row Python affix strip costs more than the
+# extra banded-DP columns it would save — short pairs go straight to the
+# loop-free bulk encode + batch DP.
+_STRIP_SKIP = 40
+
+# Batch-DP rows per chunk: 16k rows x ~30 cols x 4 B x ~5 live matrices
+# ≈ 10 MB — inside LLC, where the vectorized relax runs at compute
+# speed instead of the host's stream-bandwidth wall.
+_DP_CHUNK = 16384
+
 
 def _encode(strings: np.ndarray, max_len: int) -> tuple[np.ndarray, np.ndarray]:
-    """Encode an object array of str into (codes[B, max_len] int32, lengths[B])."""
+    """Encode an object array of str into (codes[B, max_len] int32, lengths[B]).
+
+    Bulk path: ``np.array(..., dtype=U<max_len>)`` builds the fixed-width
+    UCS-4 matrix in one C loop and a view reinterprets it as int32 —
+    no per-row Python. Lengths come from the first zero code point.
+    """
     n = len(strings)
-    codes = np.zeros((n, max_len), dtype=np.int32)
-    lengths = np.zeros(n, dtype=np.int64)
-    for i, s in enumerate(strings):
-        ls = len(s)
-        lengths[i] = ls
-        if ls:
-            codes[i, :ls] = np.frombuffer(s.encode("utf-32-le"), dtype=np.int32)
+    if n == 0:
+        return np.zeros((0, max_len), dtype=np.int32), np.zeros(0, dtype=np.int64)
+    u = np.asarray(strings, dtype=f"U{max_len}")
+    # reinterpret, don't convert: code points < 2^31, so the uint32
+    # buffer IS valid int32 data
+    codes = u.view(np.int32).reshape(n, max_len)
+    lengths = np.char.str_len(u).astype(np.int64)
     return codes, lengths
 
 
@@ -90,15 +105,42 @@ def _dp_batch(
     n, la = a_codes.shape
     lb = b_codes.shape[1]
     out = np.empty(n, dtype=np.int64)
+    if n > _DP_CHUNK:
+        # chunk so the whole DP state (state matrices + transposed code
+        # matrices) stays cache-resident — this host's stream bandwidth
+        # is the wall, cache-resident work scales (BASELINE.md)
+        for s in range(0, n, _DP_CHUNK):
+            sl = slice(s, min(s + _DP_CHUNK, n))
+            ca = int(a_len[sl].max()) if a_len[sl].size else 0
+            cb = int(b_len[sl].max()) if b_len[sl].size else 0
+            out[sl] = _dp_batch(
+                np.ascontiguousarray(a_codes[sl, : max(ca, 1)]),
+                a_len[sl],
+                np.ascontiguousarray(b_codes[sl, : max(cb, 1)]),
+                b_len[sl],
+                transpositions,
+                max_distance,
+            )
+        return out
     band = max_distance >= 0 and max_distance < lb
 
-    prev = np.broadcast_to(np.arange(lb + 1, dtype=np.int64), (n, lb + 1)).copy()
+    # DP state laid out (lb+1, n): every slice the relax touches
+    # (prev[j], prev[j-1], cur[j-1], prev2[j-2], bT[j-1]) is a
+    # CONTIGUOUS n-vector — column slices of an (n, lb+1) matrix would
+    # touch one cache line per element. int32 halves the traffic.
+    prev = np.empty((lb + 1, n), dtype=np.int32)
+    for j in range(lb + 1):
+        prev[j] = j
     done = a_len == 0
     if done.any():
         out[done] = b_len[done]
 
+    aT = np.ascontiguousarray(a_codes.T)  # (la, n)
+    bT = np.ascontiguousarray(b_codes.T)  # (lb, n)
     prev2 = np.empty_like(prev)
     cur = np.empty_like(prev)
+    t1 = np.empty(n, dtype=np.int32)
+    t2 = np.empty(n, dtype=np.int32)
     idx = np.arange(n)
     for i in range(1, la + 1):
         if band:
@@ -110,30 +152,29 @@ def _dp_batch(
             # the right prev neighbor (i-1, i+max_d) and the left cur
             # neighbor (i, jlo-1) are unreachable within the budget
             if jhi == i + max_distance:
-                prev[:, jhi] = _BIG
+                prev[jhi] = _BIG
             if jlo > 1:
-                cur[:, jlo - 1] = _BIG
+                cur[jlo - 1] = _BIG
             else:
-                cur[:, 0] = i
+                cur[0] = i
         else:
             jlo, jhi = 1, lb
-            cur[:, 0] = i
-        ai = a_codes[:, i - 1][:, None]  # (n, 1)
-        cost = (ai != b_codes).astype(np.int64)  # (n, lb)
+            cur[0] = i
+        ai = aT[i - 1]
         for j in range(jlo, jhi + 1):
-            c = np.minimum(prev[:, j] + 1, prev[:, j - 1] + cost[:, j - 1])
-            np.minimum(c, cur[:, j - 1] + 1, out=c)
+            np.add(prev[j], 1, out=t1)
+            np.add(prev[j - 1], ai != bT[j - 1], out=t2, casting="unsafe")
+            np.minimum(t1, t2, out=t1)
+            np.add(cur[j - 1], 1, out=t2)
+            np.minimum(t1, t2, out=t1)
             if transpositions and i > 1 and j > 1:
-                trans = (a_codes[:, i - 1] == b_codes[:, j - 2]) & (
-                    a_codes[:, i - 2] == b_codes[:, j - 1]
-                )
-                np.minimum(
-                    c, np.where(trans, prev2[:, j - 2] + 1, c), out=c
-                )
-            cur[:, j] = c
+                trans = (ai == bT[j - 2]) & (aT[i - 2] == bT[j - 1])
+                np.add(prev2[j - 2], 1, out=t2)
+                np.minimum(t1, np.where(trans, t2, t1), out=t1)
+            cur[j] = t1
         hit = a_len == i
         if hit.any():
-            out[idx[hit]] = cur[hit, b_len[hit]]
+            out[idx[hit]] = cur[b_len[hit], idx[hit]]
         prev2, prev, cur = prev, cur, prev2
     return out
 
@@ -227,33 +268,49 @@ def _distance_batch(
 
     idx = np.flatnonzero(todo)
     if idx.size:
-        # E8: strip shared affixes first — the DP then sees only the
-        # differing core, and batch/fallback classification is by CORE
-        # length, so long-but-mostly-equal pairs stay on the fast path
-        core_a = np.empty(idx.size, dtype=object)
-        core_b = np.empty(idx.size, dtype=object)
-        ca_len = np.empty(idx.size, dtype=np.int64)
-        cb_len = np.empty(idx.size, dtype=np.int64)
-        for k, r in enumerate(idx):
-            x, y = _strip_affixes(a[r], b[r])
-            core_a[k] = x
-            core_b[k] = y
-            ca_len[k] = len(x)
-            cb_len[k] = len(y)
-        long_k = np.flatnonzero(np.maximum(ca_len, cb_len) > _BATCH_LEN_CAP)
-        for k in long_k:
-            d = _dp_single(core_a[k], core_b[k], transpositions, max_distance)
-            result[idx[k]] = d if d <= max_distance else -1
-        short_k = np.flatnonzero(np.maximum(ca_len, cb_len) <= _BATCH_LEN_CAP)
-        if short_k.size:
-            max_a = int(ca_len[short_k].max())
-            max_b = int(cb_len[short_k].max())
-            a_codes, a_lens = _encode(core_a[short_k], max(max_a, 1))
-            b_codes, b_lens = _encode(core_b[short_k], max(max_b, 1))
+        # Short pairs skip the per-row affix strip: the banded DP over
+        # <= _STRIP_SKIP chars is cheaper than the Python strip loop,
+        # and bulk encode is loop-free. Longer pairs get the E8 strip —
+        # the DP then sees only the differing core, and batch/fallback
+        # classification is by CORE length, so long-but-mostly-equal
+        # pairs stay on the fast path.
+        lens = np.maximum(la[idx], lb[idx])
+        fast = idx[lens <= _STRIP_SKIP]
+        if fast.size:
+            max_a = int(la[fast].max())
+            max_b = int(lb[fast].max())
+            a_codes, a_lens = _encode(a[fast], max(max_a, 1))
+            b_codes, b_lens = _encode(b[fast], max(max_b, 1))
             d = _dp_batch(
                 a_codes, a_lens, b_codes, b_lens, transpositions, max_distance
             )
-            result[idx[short_k]] = np.where(d <= max_distance, d, -1)
+            result[fast] = np.where(d <= max_distance, d, -1)
+        rest = idx[lens > _STRIP_SKIP]
+        if rest.size:
+            core_a = np.empty(rest.size, dtype=object)
+            core_b = np.empty(rest.size, dtype=object)
+            ca_len = np.empty(rest.size, dtype=np.int64)
+            cb_len = np.empty(rest.size, dtype=np.int64)
+            for k, r in enumerate(rest):
+                x, y = _strip_affixes(a[r], b[r])
+                core_a[k] = x
+                core_b[k] = y
+                ca_len[k] = len(x)
+                cb_len[k] = len(y)
+            long_k = np.flatnonzero(np.maximum(ca_len, cb_len) > _BATCH_LEN_CAP)
+            for k in long_k:
+                d = _dp_single(core_a[k], core_b[k], transpositions, max_distance)
+                result[rest[k]] = d if d <= max_distance else -1
+            short_k = np.flatnonzero(np.maximum(ca_len, cb_len) <= _BATCH_LEN_CAP)
+            if short_k.size:
+                max_a = int(ca_len[short_k].max())
+                max_b = int(cb_len[short_k].max())
+                a_codes, a_lens = _encode(core_a[short_k], max(max_a, 1))
+                b_codes, b_lens = _encode(core_b[short_k], max(max_b, 1))
+                d = _dp_batch(
+                    a_codes, a_lens, b_codes, b_lens, transpositions, max_distance
+                )
+                result[rest[short_k]] = np.where(d <= max_distance, d, -1)
     return pd.Series(result, index=s1.index)
 
 

@@ -1,0 +1,83 @@
+"""lookup_batch_local must be result-equivalent to the relational
+lookup_batch — pinned on the reference's noisy-query corpus at every
+verbosity, and on the option quirks (ignore_pattern, include_unknown,
+transfer_casing) with a small dictionary."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from symspellpy_spark.config import EngineConfig, Verbosity
+from symspellpy_spark.operators.dictionary import SparkDictionary
+from symspellpy_spark.operators.local_lookup import lookup_batch_local
+from symspellpy_spark.operators.lookup import lookup_batch
+
+DICT_PATH = "/root/reference/symspellpy/frequency_dictionary_en_82_765.txt"
+NOISY_PATH = "/root/reference/tests/fortests/noisy_query_en_1000.txt"
+
+
+@pytest.fixture(scope="module")
+def en_dict(spark):
+    return SparkDictionary.load_dictionary(spark, DICT_PATH).cache()
+
+
+@pytest.fixture(scope="module")
+def small_dict(spark):
+    words = spark.createDataFrame(
+        [("steama", 4), ("steamb", 6), ("steam", 10), ("steams", 5),
+         ("steem", 8), ("a", 3), ("i", 2)],
+        "term string, count long",
+    )
+    return SparkDictionary.from_words(spark, words).cache()
+
+
+def _rows(df):
+    return sorted(
+        (r["query"], r["term"], r["distance"], r["count"]) for r in df.collect()
+    )
+
+
+@pytest.mark.parametrize(
+    "verb", [Verbosity.TOP, Verbosity.CLOSEST, Verbosity.ALL]
+)
+def test_equivalence_on_noisy_corpus(spark, en_dict, verb):
+    with open(NOISY_PATH) as fh:
+        noisy = [line.split()[0] for line in fh if line.strip()][::5]
+    qdf = spark.createDataFrame([(w,) for w in noisy], "query string")
+    d = 1 if verb == Verbosity.ALL else 2
+    rel = _rows(lookup_batch(qdf, en_dict, verb, max_edit_distance=d))
+    loc = _rows(lookup_batch_local(qdf, en_dict, verb, max_edit_distance=d))
+    assert loc == rel
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(ignore_pattern=r"\w+\d"),
+        dict(include_unknown=True),
+        dict(transfer_casing=True),
+        dict(ignore_pattern=r"steam\w*", include_unknown=True),
+    ],
+    ids=["ignore", "unknown", "casing", "ignore+unknown"],
+)
+@pytest.mark.parametrize("verb", [Verbosity.TOP, Verbosity.CLOSEST, Verbosity.ALL])
+def test_equivalence_option_quirks(spark, small_dict, verb, kw):
+    qdf = spark.createDataFrame(
+        [("steam",), ("steemx",), ("STEab",), ("steamx77",), ("zzqqzz",), ("a",), ("ab",)],
+        "query string",
+    )
+    rel = _rows(lookup_batch(qdf, small_dict, verb, max_edit_distance=2, **kw))
+    loc = _rows(lookup_batch_local(qdf, small_dict, verb, max_edit_distance=2, **kw))
+    assert loc == rel, (verb, kw)
+
+
+def test_distance_too_large(spark, small_dict):
+    qdf = spark.createDataFrame([("x",)], "query string")
+    with pytest.raises(ValueError):
+        lookup_batch_local(qdf, small_dict, Verbosity.TOP, max_edit_distance=5)
+
+
+def test_membership_probe_d0(spark, small_dict):
+    qdf = spark.createDataFrame([("steam",), ("nope",)], "query string")
+    rel = _rows(lookup_batch(qdf, small_dict, Verbosity.TOP, max_edit_distance=0))
+    loc = _rows(lookup_batch_local(qdf, small_dict, Verbosity.TOP, max_edit_distance=0))
+    assert loc == rel == [("steam", "steam", 0, 10)]
