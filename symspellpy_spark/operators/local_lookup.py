@@ -152,9 +152,12 @@ def lookup_batch_local(
         .where(F.col("query").isNotNull())
         .distinct()
     )
+    # .distinct() above already hash-partitions by query (deterministic
+    # query->partition routing, so duplicate work never lands twice in
+    # one call); only repartition when the input arrives under-partitioned
     para = queries.sparkSession.sparkContext.defaultParallelism
     if q.rdd.getNumPartitions() < para:
-        q = q.repartition(para * 2)
+        q = q.repartition(para * 2, "query")
 
     def run(batches):
         import re
