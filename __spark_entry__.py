@@ -494,6 +494,37 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-ball pairs through the PRODUCTION kernel and
+    block-probe join (operators/dedup.py:771,804), oracle-checked: the
+    token hash family is md5-derived (first 15 hex nibbles as int64 —
+    identical in Spark and DuckDB), so the oracle recomputes the
+    strict-majority sign-sum signature relationally and compares the
+    operator's pigeonhole-probed pair set against the brute-force
+    Hamming ball (buckets are uncapped at this scale, so the sets must
+    be EQUAL — a broken vote, block split, or pair join diverges)."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+        ).alias("tokens"),
+    ).where(F.size("tokens") >= 1)
+    hashed = toks.withColumn(
+        "th",
+        F.transform(
+            F.col("tokens"),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+        ),
+    )
+    sig = simhash_signatures(hashed, hashes_col="th").select("id", "simhash")
+    return simhash_candidate_pairs(sig, max_hamming=8).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+
+
 def q_compound_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3 lookup_compound on a deterministic slice, oracle-checked.
 
@@ -834,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "simhash_md5_pairs": q_simhash_md5_pairs,
         "compound_correct": q_compound_correct,
         "compound_noisy": q_compound_noisy,
         "word_segmentation": q_word_segmentation,
@@ -1248,6 +1280,43 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT term, delete_key FROM lvl1
         UNION ALL SELECT term, '' FROM keep WHERE length(term) <= 1
     )""",
+        # Production SimHash machinery over an md5-derived hash family
+        # (see q_simhash_md5_pairs): signature = strict-majority bit
+        # vote over per-token 60-bit hashes; expected pairs = the
+        # brute-force Hamming ball (uncapped buckets => operator output
+        # must equal it exactly).
+        "simhash_md5_pairs": f"""
+    WITH tok AS (
+        SELECT doc_id,
+               list_distinct(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS ts
+        FROM documents
+    ),
+    t2 AS (
+        SELECT doc_id, len(ts) AS n, unnest(ts) AS tokv
+        FROM tok WHERE len(ts) >= 1
+    ),
+    h AS (
+        SELECT doc_id, n,
+               CAST(concat('0x', substr(md5(tokv), 1, 15)) AS BIGINT) AS hv
+        FROM t2
+    ),
+    bits AS (
+        SELECT doc_id, n, b,
+               sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE 0 END) AS ones
+        FROM h, unnest(range(0, 60)) AS t(b)
+        GROUP BY doc_id, n, b
+    ),
+    sigs AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN ones * 2 > n
+                             THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                    AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""",
         # Deterministic lookup_compound slice (see q_compound_correct):
         # per-token TOP lookup + concat + the reference's sequential
         # naive-Bayes count chain (joined_count *= count/N in token
