@@ -525,6 +525,23 @@ def q_simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints through the production operator
+    (operators/dedup.py::winnowing_fingerprints) with the md5-derived
+    gram-hash family, oracle-checked: the oracle replays gram hashing,
+    the sliding-window min, and the rightmost-tie selection in SQL."""
+    docs = _read(spark, sf_dir, "documents")
+    from symspellpy_spark.operators.dedup import winnowing_fingerprints
+
+    return winnowing_fingerprints(
+        docs, k=8, window=4, hash_family="md5"
+    ).select(
+        F.col("id").alias("doc_id"),
+        F.col("pos").cast("long").alias("pos"),
+        "fingerprint",
+    )
+
+
 def q_compound_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3 lookup_compound on a deterministic slice, oracle-checked.
 
@@ -866,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "simhash_md5_pairs": q_simhash_md5_pairs,
+        "winnowing_fingerprints": q_winnowing_fingerprints,
         "compound_correct": q_compound_correct,
         "compound_noisy": q_compound_noisy,
         "word_segmentation": q_word_segmentation,
@@ -1280,6 +1298,40 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT term, delete_key FROM lvl1
         UNION ALL SELECT term, '' FROM keep WHERE length(term) <= 1
     )""",
+        # Winnowing (see q_winnowing_fingerprints): same gram hashes,
+        # window-min, rightmost tie, distinct selections.
+        "winnowing_fingerprints": """
+    WITH d AS (
+        SELECT doc_id, text FROM documents WHERE length(text) >= 11
+    ),
+    grams AS (
+        SELECT doc_id, p,
+               CAST(concat('0x', substr(md5(substr(text, p, 8)), 1, 15))
+                    AS BIGINT) AS h
+        FROM d, unnest(range(1, length(text) - 6)) AS t(p)
+    ),
+    win AS (
+        SELECT doc_id, p, h,
+               min(h) OVER (
+                   PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+               ) AS wmin,
+               max(p) OVER (PARTITION BY doc_id) AS m
+        FROM grams
+    ),
+    starts AS (
+        SELECT doc_id, p AS s, wmin FROM win WHERE p <= m - 3
+    ),
+    chosen AS (
+        SELECT st.doc_id, st.s, st.wmin, max(g.p) AS pos
+        FROM starts st
+        JOIN grams g
+          ON g.doc_id = st.doc_id
+         AND g.p BETWEEN st.s AND st.s + 3
+         AND g.h = st.wmin
+        GROUP BY st.doc_id, st.s, st.wmin
+    )
+    SELECT DISTINCT doc_id, pos, wmin AS fingerprint FROM chosen""",
         # Production SimHash machinery over an md5-derived hash family
         # (see q_simhash_md5_pairs): signature = strict-majority bit
         # vote over per-token 60-bit hashes; expected pairs = the

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import ArrayType, LongType
 
 __all__ = [
+    "winnowing_fingerprints",
     "normalized_tokens",
     "shingles",
     "combined_signatures",
@@ -970,6 +971,72 @@ def substring_fingerprint_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("shared_grams"))
     )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS scheme): hash every char ``k``-gram, slide a
+    ``window`` over consecutive gram hashes, select each window's
+    minimum (ties -> RIGHTMOST position), dedupe selections.
+    Guarantees: every shared substring of length >= window + k - 1
+    between two documents yields a shared fingerprint, with ~2/(window+1)
+    sampling density — the classic local-plagiarism/near-dup sweep that
+    complements MinHash (set overlap) and the content-defined substring
+    pass (exact long matches).
+
+    Pure Catalyst: posexplode grams -> JVM hash -> sliding-window min
+    (ROWS BETWEEN CURRENT AND window-1 FOLLOWING) -> rightmost-argmin
+    via an equi-join on (window start's min value) + max(pos). -> (id,
+    pos, fingerprint), distinct. ``hash_family="md5"`` swaps the gram
+    hash for a 60-bit md5 prefix that DuckDB computes identically — the
+    oracle family; xxhash64 is the production default.
+    """
+    from pyspark.sql import Window as W
+
+    d = docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    ).where(F.length("text") >= k + window - 1)
+    grams = d.select(
+        "id",
+        F.explode(F.sequence(F.lit(1), F.length("text") - (k - 1))).alias("p"),
+        F.col("text"),
+    ).select("id", "p", F.expr(f"substring(text, p, {k})").alias("g"))
+    if hash_family == "md5":
+        h = F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(F.col("g"))
+    grams = grams.select("id", "p", h.alias("h"))
+    w_min = W.partitionBy("id").orderBy("p").rowsBetween(0, window - 1)
+    n_grams = W.partitionBy("id")
+    starts = (
+        grams.withColumn("wmin", F.min("h").over(w_min))
+        .withColumn("m", F.max("p").over(n_grams))
+        .where(F.col("p") <= F.col("m") - (window - 1))
+        .select("id", F.col("p").alias("s"), "wmin")
+    )
+    chosen = (
+        starts.join(
+            grams.select("id", F.col("p").alias("gp"), F.col("h").alias("gh")),
+            ["id"],
+        )
+        .where(
+            (F.col("gp") >= F.col("s"))
+            & (F.col("gp") <= F.col("s") + (window - 1))
+            & (F.col("gh") == F.col("wmin"))
+        )
+        .groupBy("id", "s", "wmin")
+        .agg(F.max("gp").alias("pos"))
+    )
+    return chosen.select(
+        "id", "pos", F.col("wmin").alias("fingerprint")
+    ).distinct()
 
 
 def exact_duplicates(

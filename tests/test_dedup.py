@@ -196,3 +196,39 @@ def test_jaccard_verify_two_phase_equals_single(spark):
         for r in jaccard_verify(cand, sig, threshold=0.6, two_phase=True).collect()
     }
     assert one == two and len(one) > 0
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """Winnowing invariants (Schleimer et al.): (a) two documents
+    sharing a substring of length >= window + k - 1 share at least one
+    fingerprint; (b) selection density is well below 1 per gram."""
+    from symspellpy_spark.operators.dedup import winnowing_fingerprints
+
+    import random
+
+    rng = random.Random(3)
+    alpha = "abcdefghij "
+    shared = "".join(rng.choice(alpha) for _ in range(40))
+    d1 = "".join(rng.choice(alpha) for _ in range(100)) + shared + "".join(
+        rng.choice(alpha) for _ in range(100)
+    )
+    d2 = "".join(rng.choice(alpha) for _ in range(80)) + shared + "".join(
+        rng.choice(alpha) for _ in range(120)
+    )
+    d3 = "".join(rng.choice(alpha) for _ in range(240))
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+    )
+    fps = winnowing_fingerprints(docs, k=8, window=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["id"], set()).add(r["fingerprint"])
+    assert by_doc[1] & by_doc[2], "docs sharing a 40-char substring must share a fingerprint"
+    # density: far fewer selections than grams, but not degenerate
+    n_grams = len(d3) - 7
+    assert 0 < len(by_doc[3]) < n_grams * 0.8
+    # determinism
+    fps2 = winnowing_fingerprints(docs, k=8, window=4).collect()
+    assert {(r["id"], r["pos"], r["fingerprint"]) for r in fps2} == {
+        (r["id"], r["pos"], r["fingerprint"]) for r in fps
+    }
