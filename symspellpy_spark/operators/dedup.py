@@ -991,12 +991,19 @@ def winnowing_fingerprints(
     complements MinHash (set overlap) and the content-defined substring
     pass (exact long matches).
 
-    Pure Catalyst: posexplode grams -> JVM hash -> sliding-window min
-    (ROWS BETWEEN CURRENT AND window-1 FOLLOWING) -> rightmost-argmin
-    via an equi-join on (window start's min value) + max(pos). -> (id,
-    pos, fingerprint), distinct. ``hash_family="md5"`` swaps the gram
-    hash for a 60-bit md5 prefix that DuckDB computes identically — the
-    oracle family; xxhash64 is the production default.
+    Pure Catalyst, join-free: posexplode grams -> JVM hash -> ONE
+    sliding-window pass (ROWS BETWEEN CURRENT AND window-1 FOLLOWING)
+    computing ``min(struct(h, -p))`` — struct ordering gives the min
+    hash first and, among ties, the max position (rightmost) — then
+    project (fingerprint, pos) and distinct. A previous revision
+    resolved the rightmost tie by joining window starts back onto all
+    grams equi-keyed on (id, h==wmin); on boilerplate-heavy documents
+    where one gram hash dominates that join degenerates toward O(L²)
+    rows per document, so it was replaced by this single window pass
+    (same results, linear in document length, skew-safe).
+    ``hash_family="md5"`` swaps the gram hash for a 60-bit md5 prefix
+    that DuckDB computes identically — the oracle family; xxhash64 is
+    the production default.
     """
     from pyspark.sql import Window as W
 
@@ -1015,27 +1022,22 @@ def winnowing_fingerprints(
     grams = grams.select("id", "p", h.alias("h"))
     w_min = W.partitionBy("id").orderBy("p").rowsBetween(0, window - 1)
     n_grams = W.partitionBy("id")
-    starts = (
-        grams.withColumn("wmin", F.min("h").over(w_min))
+    # min(struct(h, -p)) over the forward window: minimum hash, and
+    # among equal hashes the most-negative -p, i.e. the RIGHTMOST p.
+    chosen = (
+        grams.withColumn(
+            "wmin",
+            F.min(
+                F.struct(F.col("h"), (-F.col("p")).alias("np"))
+            ).over(w_min),
+        )
         .withColumn("m", F.max("p").over(n_grams))
         .where(F.col("p") <= F.col("m") - (window - 1))
-        .select("id", F.col("p").alias("s"), "wmin")
-    )
-    chosen = (
-        starts.join(
-            grams.select("id", F.col("p").alias("gp"), F.col("h").alias("gh")),
-            ["id"],
-        )
-        .where(
-            (F.col("gp") >= F.col("s"))
-            & (F.col("gp") <= F.col("s") + (window - 1))
-            & (F.col("gh") == F.col("wmin"))
-        )
-        .groupBy("id", "s", "wmin")
-        .agg(F.max("gp").alias("pos"))
     )
     return chosen.select(
-        "id", "pos", F.col("wmin").alias("fingerprint")
+        "id",
+        (-F.col("wmin.np")).alias("pos"),
+        F.col("wmin.h").alias("fingerprint"),
     ).distinct()
 
 

@@ -232,3 +232,34 @@ def test_winnowing_guarantee_and_density(spark):
     assert {(r["id"], r["pos"], r["fingerprint"]) for r in fps2} == {
         (r["id"], r["pos"], r["fingerprint"]) for r in fps
     }
+
+
+def test_winnowing_repetitive_doc_stays_linear(spark):
+    """A boilerplate-pathological document (one token repeated for
+    ~100 KB, so every gram hash is one of a handful of values) must
+    winnow in time linear in its length. The former join-based
+    rightmost-tie selection produced O(L^2) intermediate rows here."""
+    import time
+
+    from symspellpy_spark.operators.dedup import winnowing_fingerprints
+
+    text = "lorem " * 17000  # ~102 KB, gram hashes cycle with period 6
+    docs = spark.createDataFrame(
+        [(1, text), (2, "x" * 100_000)], "doc_id long, text string"
+    )
+    t0 = time.monotonic()
+    fps = winnowing_fingerprints(docs, k=8, window=4).collect()
+    took = time.monotonic() - t0
+    assert took < 60, f"repetitive doc took {took:.1f}s - join degeneracy?"
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["id"], set()).add((r["pos"], r["fingerprint"]))
+    # periodic text: distinct (pos, fp) selections stay dense (one per
+    # window start can repeat positions only via distinct pos), but the
+    # distinct FINGERPRINT count collapses to the hash period
+    assert len({fp for _, fp in by_doc[1]}) <= 6
+    assert len({fp for _, fp in by_doc[2]}) == 1
+    # the all-identical doc selects the rightmost position of each window
+    assert {p for p, _ in by_doc[2]} == set(
+        range(4, 100_000 - 8 + 2)
+    ), "rightmost-tie rule violated on constant hashes"

@@ -122,3 +122,18 @@ def test_fuzzy_segmentation_default_plan_is_join_free(spark):
         word_segmentation_batch(docs, d, max_edit_distance=1, strategy="relational")
     )
     assert "Join" in rel_plan  # the fallback shape really is relational
+
+
+def test_winnowing_plans_no_join(spark):
+    """Rightmost-tie selection must be a window pass, not a
+    starts-onto-grams join: the join's equi-key (id, gram-hash)
+    degenerates toward O(L^2) rows on boilerplate-heavy documents
+    where one hash dominates."""
+    from symspellpy_spark.operators.dedup import winnowing_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghijklmnop")], "doc_id long, text string"
+    )
+    plan = _physical(winnowing_fingerprints(docs, k=8, window=4))
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
