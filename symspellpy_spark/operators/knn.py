@@ -174,10 +174,15 @@ def ivf_fit_centroids(
     bounded-size driver job by design (FAISS trains IVF on a sample
     too); ASSIGNMENT and SEARCH stay distributed. Deterministic in
     (seed, sample): k-means++-free Lloyd's with seeded init, vectors and
-    centroids L2-normalized each round (cosine k-means).
+    centroids L2-normalized each round (cosine k-means). The sample is
+    taken in xxhash64(vector) order — a bare ``limit`` is not
+    deterministic across runs/task retries, which would make centroids
+    (hence every assignment) unstable; hash order also decorrelates the
+    sample from ingestion order.
     """
     rows = (
         corpus.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col).cast("string")))
         .limit(sample)
         .toPandas()[vec_col]
         .tolist()

@@ -54,21 +54,29 @@ _BC_CACHE: dict = {}
 
 
 def _words_broadcast(queries: DataFrame, dictionary: SparkDictionary):
+    """-> (broadcast, token). The token is a driver-generated uuid made
+    once per broadcast and shipped in the task closure: worker-side
+    state must NOT key on id(bc) because Broadcast wrappers are
+    per-task objects whose CPython addresses are readily reused after
+    GC — a later job with a different dictionary could silently hit a
+    stale delete index."""
+    import uuid
     import weakref
 
     entry = _BC_CACHE.get(id(dictionary))
     if entry is not None:
-        ref, bc = entry
+        ref, bc, token = entry
         if ref() is dictionary:
-            return bc
+            return bc, token
     words_map = {
         r["term"]: r["count"]
         for r in dictionary.words.select("term", "count").collect()
     }
     bc = queries.sparkSession.sparkContext.broadcast(words_map)
+    token = uuid.uuid4().hex
     _BC_CACHE.clear()
-    _BC_CACHE[id(dictionary)] = (weakref.ref(dictionary), bc)
-    return bc
+    _BC_CACHE[id(dictionary)] = (weakref.ref(dictionary), bc, token)
+    return bc, token
 
 
 def _neighborhood(s: str, d: int, p: int) -> set[str]:
@@ -145,7 +153,7 @@ def lookup_batch_local(
     tc = transfer_casing
     inc_unknown = include_unknown
 
-    bc = _words_broadcast(queries, dictionary)
+    bc, bc_token = _words_broadcast(queries, dictionary)
 
     q = (
         queries.select(F.col(query_col).alias("query"))
@@ -165,13 +173,13 @@ def lookup_batch_local(
         # staged (TOP/CLOSEST at d>=2) and exhaustive (ALL) resolutions
         # differ, so the cache is keyed by the staging mode too
         staged = d_ >= 2 and verb in (Verbosity.TOP, Verbosity.CLOSEST)
-        key = (id(bc), d_, p_, staged)
+        key = (bc_token, d_, p_, staged)
         state = _STATE.get(key)
         if state is None:
             words = bc.value
             idx1, deep, one_char, max_len = _build_state(words, d_, p_)
             state = (words, idx1, deep, one_char, max_len, {})
-            for k in [k for k in _STATE if k[0] != id(bc)]:
+            for k in [k for k in _STATE if k[0] != bc_token]:
                 del _STATE[k]  # one dictionary per worker
             _STATE[key] = state
         words, idx1, deep, one_char, max_len, cache = state

@@ -119,8 +119,7 @@ def frame_sample(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                payload = row[payload_col]
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
                 if payload is None:
                     continue
                 b = bytes(payload)
@@ -128,9 +127,7 @@ def frame_sample(
                 for i in range(n_frames):
                     chunk = b[i * step : (i + 1) * step]
                     if chunk:
-                        rows.append(
-                            {id_col: row[id_col], "frame_idx": i, "frame": chunk}
-                        )
+                        rows.append({id_col: rid, "frame_idx": i, "frame": chunk})
             yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "frame"])
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)

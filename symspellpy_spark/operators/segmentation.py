@@ -566,11 +566,18 @@ def _segmentation_broadcast_fuzzy(
         for r in dictionary.words.select("term", "count").collect()
     }
     bc = docs.sparkSession.sparkContext.broadcast(words_map)
+    # stable per-broadcast token for the worker state key: id(bc) is a
+    # per-task wrapper address that CPython reuses after GC, so a later
+    # job with a different dictionary could collide on it and resolve
+    # against a stale delete index
+    import uuid
+
+    bc_token = uuid.uuid4().hex
 
     def make_resolve():
         import re
 
-        key = (id(bc), d_, p_)
+        key = (bc_token, d_, p_)
         state = _WORKER_LOOKUP_STATE.get(key)
         if state is None:
             words = bc.value

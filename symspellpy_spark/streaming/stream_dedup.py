@@ -123,6 +123,7 @@ def streaming_simhash_pairs(
     u64 = (1 << 64) - 1
 
     def detect(key, pdfs, state):
+        import numpy as np
         import pandas as pd
 
         if state.exists:
@@ -130,20 +131,32 @@ def streaming_simhash_pairs(
             ids, sims = list(ids), list(sims)
         else:
             ids, sims = [], []
+        # vectorized Hamming against the whole bucket state: xor the
+        # uint64 signature array, popcount via unpackbits (numpy<2 has
+        # no bitwise_count) — O(bucket) numpy per arriving doc instead
+        # of a pure-Python compare loop
+        arr = np.array(sims, dtype=np.int64).astype(np.uint64)
+        id_arr = np.array(ids, dtype=object)
         out = []
         for pdf in pdfs:
             for doc_id, sh in zip(pdf["id"], pdf["simhash"]):
                 sh_i = int(sh)
-                for prev_id, prev_sh in zip(ids, sims):
-                    if prev_id == doc_id:
-                        continue
-                    hd = ((sh_i ^ int(prev_sh)) & u64).bit_count()
-                    if hd <= max_hamming:
+                if len(arr):
+                    x = arr ^ np.uint64(sh_i & u64)
+                    hd = np.unpackbits(
+                        x.view(np.uint8).reshape(-1, 8), axis=1
+                    ).sum(axis=1)
+                    for j in np.nonzero(hd <= max_hamming)[0]:
+                        prev_id = id_arr[j]
+                        if prev_id == doc_id:
+                            continue
                         a, b = sorted((doc_id, prev_id))
-                        out.append((a, b, hd))
+                        out.append((a, b, int(hd[j])))
                 if len(ids) < max_bucket_size:
                     ids.append(doc_id)
                     sims.append(sh_i)
+                    arr = np.append(arr, np.uint64(sh_i & u64))
+                    id_arr = np.append(id_arr, doc_id)
         state.update((ids, sims))
         yield pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
 
@@ -173,11 +186,17 @@ def compact_band_index(spark: SparkSession, index_path: str, files_per_band: int
 
     Appends accumulate one file set per micro-batch; without compaction
     the per-batch probe pays O(#batches) file listings/opens even though
-    the row count is just O(history). Rewrites atomically via a temp
-    directory + rename (foreachBatch is sequential, so no concurrent
-    reader exists mid-swap).
+    the row count is just O(history). Swap protocol: write tmp, rename
+    the live index ASIDE (never delete-then-rename: a crash in that gap
+    would lose the whole index and ``index_exists`` would silently
+    restart the stream with empty history), rename tmp into place, then
+    delete the old dir. Each rename's boolean return is checked and a
+    failed swap raises — with a best-effort restore of the old index —
+    so a half-swap surfaces loudly instead of reading as no-history.
+    (foreachBatch is sequential, so no concurrent reader mid-swap.)
     """
     tmp = index_path.rstrip("/") + "__compact_tmp"
+    old = index_path.rstrip("/") + "__old"
     (
         spark.read.parquet(index_path)
         .repartition(files_per_band * 32, "band_id", "band_hash")
@@ -187,8 +206,17 @@ def compact_band_index(spark: SparkSession, index_path: str, files_per_band: int
     )
     fs, jidx = _hadoop_fs(spark, index_path)
     _, jtmp = _hadoop_fs(spark, tmp)
-    fs.delete(jidx, True)
-    fs.rename(jtmp, jidx)
+    _, jold = _hadoop_fs(spark, old)
+    fs.delete(jold, True)  # leftover from a previously failed compaction
+    if not fs.rename(jidx, jold):
+        raise IOError(f"compact_band_index: rename {index_path} -> {old} failed")
+    if not fs.rename(jtmp, jidx):
+        restored = fs.rename(jold, jidx)
+        raise IOError(
+            f"compact_band_index: rename {tmp} -> {index_path} failed"
+            f" (old index {'restored' if restored else 'LEFT AT ' + old})"
+        )
+    fs.delete(jold, True)
 
 
 def run_incremental_lsh(
@@ -225,7 +253,17 @@ def run_incremental_lsh(
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         sess = batch_df.sparkSession
         sig = stream_signatures_batch(batch_df, num_perm=num_perm)
-        banded = _banded(sig.select("id", "minhash"), bands, num_perm).localCheckpoint()
+        # persist + explicit unpersist, NOT localCheckpoint: checkpoint
+        # RDD blocks are never context-cleaned in long-lived sessions
+        # (see scoped_cache.py), so a per-micro-batch checkpoint accretes
+        # executor storage without bound over a stream's lifetime
+        banded = _banded(sig.select("id", "minhash"), bands, num_perm).persist()
+        try:
+            _process_batch(sess, banded, epoch_id)
+        finally:
+            banded.unpersist()
+
+    def _process_batch(sess, banded, epoch_id: int) -> None:
         probe = F.broadcast(banded)
         within = banded.join(
             probe.select(
