@@ -485,12 +485,27 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming-ball pairs (rows-only check)."""
+    """SimHash Hamming-ball pairs through the FULL production
+    configuration — xxhash64 token hashing (simhash_signatures'
+    default), the strict-majority sign-sum kernel and the pigeonhole
+    block-probe join — oracle-checked: the oracle re-implements XXH64
+    (seed 42, Spark-bit-exact, validated length 1..15) as a chain of
+    UBIGINT/HUGEINT SQL stages (``_xxh64_nested_sql``), recomputes the
+    64-bit majority-vote signature relationally, and compares against
+    the brute-force Hamming ball. Buckets are uncapped at gate scale,
+    so the operator's probed pair set must EQUAL the ball exactly."""
     docs = _read(spark, sf_dir, "documents")
-    toks = normalized_tokens(docs, id_col="doc_id", text_col="text")
+    toks = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+        ).alias("tokens"),
+    ).where(F.size("tokens") >= 1)
     sig = simhash_signatures(toks).select("id", "simhash")
     return simhash_candidate_pairs(sig, max_hamming=8).select(
-        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.col("hamming").cast("int").alias("hamming"),
     )
 
 
@@ -1026,6 +1041,154 @@ def _ivf_cosine_topk_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
     ) WHERE rank <= {_IVF_K}"""
 
 
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_M64 = 1 << 64
+
+
+def _xx_mul(a: str, b: str) -> str:
+    """(a*b) mod 2^64 over UBIGINT SQL exprs via 32-bit split in
+    HUGEINT (DuckDB BIGINT/UBIGINT arithmetic raises on overflow, and a
+    full 64x64 product can exceed signed-HUGEINT range — the cross
+    terms and low product each stay < 2^64, so HUGEINT never
+    overflows)."""
+    A = f"CAST({a} AS HUGEINT)"
+    B = f"CAST({b} AS HUGEINT)"
+    return (
+        f"CAST(((({A}%4294967296)*({B}%4294967296)"
+        f" + (((({A}//4294967296)*({B}%4294967296)"
+        f" + ({A}%4294967296)*({B}//4294967296))%4294967296)*4294967296)"
+        f") % {_M64}) AS UBIGINT)"
+    )
+
+
+def _xx_rotl(x: str, r: int) -> str:
+    X = f"CAST({x} AS HUGEINT)"
+    return f"CAST(((({X}*{1 << r}) % {_M64}) + ({X}//{1 << (64 - r)})) AS UBIGINT)"
+
+
+def _xx_le_bytes(col: str, start, nbytes: int) -> str:
+    """Little-endian integer from ``nbytes`` ASCII bytes of ``col``
+    starting at 1-based position ``start`` (int or SQL column name)."""
+    def pos(j: int) -> str:
+        return str(start + j) if isinstance(start, int) else f"({start} + {j})"
+
+    return "(" + " + ".join(
+        f"(unicode(substr({col}, {pos(j)}, 1))::UBIGINT * {1 << (8 * j)}::UBIGINT)"
+        for j in range(nbytes)
+    ) + ")"
+
+
+def _xxh64_cols(tok: str = "tokv") -> list[str]:
+    """XXH64(tok, seed=42) for ASCII tokens of length <= 15 as a list of
+    'expr AS alias' stages (final aliases: ``xxh`` UBIGINT). Bit-exact
+    vs Spark's ``xxhash64`` (validated against it for lengths 1..15
+    over random [a-z0-9] tokens); lengths > 15 raise via error() so a
+    future dataset can never silently diverge. Only the short path
+    (< 32 bytes: optional 8-byte chunk, optional 4-byte chunk, <= 3
+    tail bytes, avalanche) is needed for [a-z0-9]+ tokens."""
+    P1, P2, P3, P4 = (f"{p}::UBIGINT" for p in (_XXP1, _XXP2, _XXP3, _XXP4))
+    P5 = f"{_XXP5}::UBIGINT"
+    cols: list[str] = []
+    add = lambda name, expr: cols.append(f"{expr} AS {name}")  # noqa: E731
+    add("tl", f"length({tok})")
+    add("_g", "CASE WHEN tl > 15 THEN error('xxh64 oracle supports len<=15') ELSE 0 END")
+    add("h0", f"({42 + _XXP5}::UBIGINT + tl::UBIGINT)")
+    add("k8", f"CASE WHEN tl >= 8 THEN {_xx_le_bytes(tok, 1, 8)} ELSE 0::UBIGINT END")
+    add("k8c", _xx_mul(_xx_rotl(_xx_mul("k8", P2), 31), P1))
+    h1core = _xx_mul(_xx_rotl("xor(h0, k8c)", 27), P1)
+    add(
+        "h1",
+        f"CASE WHEN tl >= 8 THEN CAST((CAST({h1core} AS HUGEINT) + {_XXP4})"
+        f" % {_M64} AS UBIGINT) ELSE h0 END",
+    )
+    add("off4", "CASE WHEN tl >= 8 THEN 9 ELSE 1 END")
+    add("rem1", "CASE WHEN tl >= 8 THEN tl - 8 ELSE tl END")
+    add("k4", f"CASE WHEN rem1 >= 4 THEN {_xx_le_bytes(tok, 'off4', 4)} ELSE 0::UBIGINT END")
+    h2core = _xx_mul(_xx_rotl(f"xor(h1, {_xx_mul('k4', P1)})", 23), P2)
+    add(
+        "h2",
+        f"CASE WHEN rem1 >= 4 THEN CAST((CAST({h2core} AS HUGEINT) + {_XXP3})"
+        f" % {_M64} AS UBIGINT) ELSE h1 END",
+    )
+    add("offb", "CASE WHEN rem1 >= 4 THEN off4 + 4 ELSE off4 END")
+    add("rem2", "CASE WHEN rem1 >= 4 THEN rem1 - 4 ELSE rem1 END")
+    prev = "h2"
+    for j in range(3):
+        add(
+            f"b{j}",
+            f"CASE WHEN rem2 >= {j + 1} THEN unicode(substr({tok}, offb + {j}, 1))::UBIGINT"
+            f" ELSE 0::UBIGINT END",
+        )
+        hj = _xx_mul(_xx_rotl(f"xor({prev}, {_xx_mul(f'b{j}', P5)})", 11), P1)
+        add(f"h3_{j}", f"CASE WHEN rem2 >= {j + 1} THEN {hj} ELSE {prev} END")
+        prev = f"h3_{j}"
+    add("a1", f"xor({prev}, {prev} >> 33)")
+    add("a2", _xx_mul("a1", P2))
+    add("a3", "xor(a2, a2 >> 29)")
+    add("a4", _xx_mul("a3", P3))
+    add("xxh", "xor(a4, a4 >> 32)")
+    return cols
+
+
+def _xxh64_nested_sql(base_sql: str) -> str:
+    """Wrap ``base_sql`` (a relation with a ``tokv`` column) in one
+    nested SELECT per XXH64 stage. One stage per subquery matters:
+    DuckDB expands same-SELECT lateral aliases TEXTUALLY, and each
+    mul/rotl references its operand ~3 times, so a single flattened
+    SELECT blows up ~3^stages at bind time; projection boundaries keep
+    each stage referenced once."""
+    inner = base_sql
+    for c in _xxh64_cols():
+        inner = f"SELECT *, {c} FROM ({inner})"
+    return inner
+
+
+def _simhash_xxh_oracle() -> str:
+    """simhash_pairs oracle: per-doc distinct [a-z0-9]+ tokens, XXH64
+    (seed 42) per token via the SQL stage chain, 64-bit strict-majority
+    bit vote (``ones*2 > n`` — the kernel votes ``ones > n/2.0``),
+    wrap to signed int64, brute-force Hamming ball <= 8. Uncapped
+    buckets at gate scale => the operator's block-probed pair set must
+    equal this exactly."""
+    base = f"""SELECT doc_id, n, unnest(ts) AS tokv FROM (
+        SELECT doc_id,
+               list_distinct(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS ts,
+               len(list_distinct(regexp_extract_all(lower(text), '{TOKEN_RE}'))) AS n
+        FROM documents
+    ) WHERE n >= 1"""
+    hashed = _xxh64_nested_sql(base)
+    return f"""
+    WITH h AS (SELECT doc_id, n, xxh AS hv FROM ({hashed})),
+    bits AS (
+        SELECT doc_id, n, b,
+               sum(CASE WHEN (hv >> CAST(b AS UBIGINT)) & 1::UBIGINT = 1::UBIGINT
+                        THEN 1 ELSE 0 END) AS ones
+        FROM h, unnest(range(0, 64)) AS t(b)
+        GROUP BY doc_id, n, b
+    ),
+    usig AS (
+        SELECT doc_id,
+               sum(CASE WHEN ones * 2 > n
+                        THEN (1::HUGEINT << CAST(b AS INTEGER))
+                        ELSE 0 END) AS us
+        FROM bits GROUP BY doc_id
+    ),
+    sigs AS (
+        SELECT doc_id,
+               CAST(CASE WHEN us >= {1 << 63} THEN us - {_M64} ELSE us END
+                    AS BIGINT) AS simhash
+        FROM usig
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 8"""
+
+
 def oracle_sql() -> dict[str, str]:
     lookup_base = (
         _ORACLE_VOCAB
@@ -1337,6 +1500,11 @@ def oracle_sql() -> dict[str, str]:
         # vote over per-token 60-bit hashes; expected pairs = the
         # brute-force Hamming ball (uncapped buckets => operator output
         # must equal it exactly).
+        # Production SimHash end-to-end — xxhash64 hash family included
+        # (XXH64 seed 42 re-implemented as SQL stages, see
+        # _simhash_xxh_oracle/_xxh64_cols): expected pairs = brute-force
+        # Hamming ball over relationally recomputed signatures.
+        "simhash_pairs": _simhash_xxh_oracle(),
         "simhash_md5_pairs": f"""
     WITH tok AS (
         SELECT doc_id,
