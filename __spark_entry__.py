@@ -602,13 +602,43 @@ def q_compound_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_compound_noisy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q3 lookup_compound over raw noisy substrings — exercises the
-    merge/split branches of the fold (rows-only check; live parity vs
-    the reference is in pytest)."""
+    """Q3 lookup_compound over raw noisy substrings — the merge and
+    split branches of the fold fire on real inputs, oracle-checked: the
+    oracle replays the ENTIRE reference fold (symspellpy.py:639-865) as
+    a recursive CTE — per-token TOP lookup, the is_last_combi merge
+    gate with its naive-Bayes tie-break, the stateful split_best scan
+    over every split point, unknown-word fallbacks, and the sequential
+    joined-count float chain. The dictionary uses LEVENSHTEIN (not
+    DAMERAU_OSA) so every inner distance is DuckDB's ``levenshtein``
+    exactly; DuckDB's ``damerau_levenshtein`` is the UNRESTRICTED
+    distance, which diverges from the engine's OSA kernel at distance
+    2 — the OSA kernel itself is exhaustively oracle-tested in
+    tests/test_distance.py, and the merge/split fold logic is algorithm-
+    independent.
+
+    Input per doc: tokens 1-2 GLUED (a run-on the split branch must
+    repair), token 3 broken after its 2nd char (a split error the merge
+    branch must repair), tokens 4-8 verbatim."""
     docs = _read(spark, sf_dir, "documents")
-    d = _dictionary(spark, sf_dir, DistanceAlgorithm.DAMERAU_OSA)
-    noisy = docs.where(F.col("doc_id") < 50).select(
-        "doc_id", F.substring("text", 2, 60).alias("text")
+    d = _dictionary(spark, sf_dir, DistanceAlgorithm.LEVENSHTEIN)
+    ts = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+    noisy = (
+        docs.where(F.col("doc_id") < 50)
+        .select("doc_id", ts.alias("ts"))
+        .where((F.size("ts") >= 8) & (F.length(F.element_at("ts", 3)) >= 5))
+        .select(
+            "doc_id",
+            F.concat(
+                F.element_at("ts", 1),
+                F.element_at("ts", 2),
+                F.lit(" "),
+                F.substring(F.element_at("ts", 3), 1, 2),
+                F.lit(" "),
+                F.expr("substring(element_at(ts, 3), 3, 2147483647)"),
+                F.lit(" "),
+                F.concat_ws(" ", F.slice("ts", 4, 5)),
+            ).alias("text"),
+        )
     )
     return lookup_compound_batch(noisy, d, max_edit_distance=2).select(
         "doc_id", "term", "distance", "count"
@@ -1596,6 +1626,199 @@ def oracle_sql() -> dict[str, str]:
     FROM eligible e
     JOIN top0 t USING (doc_id)
     JOIN chain c USING (doc_id)""",
+        # FULL lookup_compound fold replay (symspellpy.py:639-865) over
+        # raw noisy substrings — merge AND split branches live. Per
+        # token: TOP lookup (distance, count DESC, term); merge gate
+        # (combi_dist+1 vs best1+best2 with the naive-Bayes count
+        # tie-break and is_last_combi carry); stateful split_best scan
+        # over split points in j order (the skip / invalidate / count-
+        # compare state machine), Naive-Bayes split count
+        # trunc(p1/N*p2) (no bigram table => the bigram_count_min
+        # branch, 2^63-1, never binds); unknown fallback
+        # (term, d+1, 10//10^len). The sequential fold is a recursive
+        # CTE carrying (parts list, is_last_combi); the final joined
+        # count replays the float chain N * prod(c/N) in part order.
+        # LEVENSHTEIN dictionary => every distance is DuckDB
+        # levenshtein() exactly (see q_compound_noisy docstring).
+        "compound_noisy": f"""
+    WITH RECURSIVE tok AS (
+        SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+        FROM documents
+    ),
+    vocab AS (SELECT term, CAST(count(*) AS BIGINT) AS count FROM tok GROUP BY term),
+    ph AS (
+        SELECT doc_id,
+               ts[1] || ts[2] || ' ' || substr(ts[3], 1, 2) || ' '
+               || substr(ts[3], 3, 2147483647) || ' '
+               || array_to_string(ts[4:8], ' ') AS phrase
+        FROM (SELECT doc_id,
+                     regexp_extract_all(lower(text), '{TOKEN_RE}') AS ts
+              FROM documents WHERE doc_id < 50)
+        WHERE len(ts) >= 8 AND length(ts[3]) >= 5
+    ),
+    toks AS (
+        SELECT doc_id, phrase, i - 1 AS pos, ts[i] AS term1,
+               CASE WHEN i > 1 THEN ts[i - 1] || ts[i] END AS combo
+        FROM (SELECT doc_id, phrase,
+                     regexp_extract_all(phrase, '{TOKEN_RE}') AS ts
+              FROM ph),
+             unnest(range(1, len(ts) + 1)) AS t(i)
+    ),
+    oov AS (
+        SELECT DISTINCT term1 FROM toks t
+        WHERE length(term1) > 1
+          AND NOT EXISTS (SELECT 1 FROM vocab v WHERE v.term = t.term1)
+    ),
+    split_rows AS (
+        SELECT term1, j, substr(term1, 1, j) AS part1,
+               substr(term1, j + 1, 2147483647) AS part2
+        FROM oov, unnest(range(1, length(term1))) AS t(j)
+    ),
+    strs AS (
+        SELECT DISTINCT q FROM (
+            SELECT term1 AS q FROM toks
+            UNION ALL SELECT combo FROM toks WHERE combo IS NOT NULL
+            UNION ALL SELECT part1 FROM split_rows
+            UNION ALL SELECT part2 FROM split_rows
+        ) WHERE q IS NOT NULL
+    ),
+    lut AS (
+        SELECT q AS query, term AS s_term,
+               CAST(d AS INTEGER) AS s_dist, count AS s_count
+        FROM (
+            SELECT s.q, v.term, levenshtein(s.q, v.term) AS d, v.count,
+                   row_number() OVER (
+                       PARTITION BY s.q
+                       ORDER BY levenshtein(s.q, v.term), v.count DESC, v.term
+                   ) AS rn
+            FROM strs s JOIN vocab v
+              ON abs(length(s.q) - length(v.term)) <= 2
+             AND levenshtein(s.q, v.term) <= 2
+        ) WHERE rn = 1
+    ),
+    split_scored AS (
+        SELECT sr.term1, sr.j,
+               l1.s_term || ' ' || l2.s_term AS tmp_term,
+               CAST(least(levenshtein(sr.term1, l1.s_term || ' ' || l2.s_term),
+                          3) AS INTEGER) AS tmp_dist,
+               floor(CAST(l1.s_count AS DOUBLE) / {DEFAULT_CORPUS_N}
+                     * CAST(l2.s_count AS DOUBLE)) AS tmp_cnt
+        FROM split_rows sr
+        JOIN lut l1 ON l1.query = sr.part1
+        JOIN lut l2 ON l2.query = sr.part2
+    ),
+    split_red AS (
+        SELECT ss.term1,
+               list(struct_pack(has := true, term := ss.tmp_term,
+                                dist := ss.tmp_dist,
+                                cnt := ss.tmp_cnt) ORDER BY ss.j) AS cands
+        FROM split_scored ss GROUP BY ss.term1
+    ),
+    rowsx AS (
+        SELECT t.doc_id, t.pos, t.term1,
+               lc.s_term AS combi_term, lc.s_dist AS combi_dist,
+               lc.s_count AS combi_count,
+               struct_pack(
+                   dist := COALESCE(ls.s_dist, 3),
+                   cnt := CASE WHEN ls.s_term IS NOT NULL
+                               THEN CAST(ls.s_count AS DOUBLE)
+                               WHEN length(t.term1) = 1 THEN 1.0
+                               ELSE 0.0 END
+               ) AS b2,
+               CASE
+                 WHEN ls.s_term IS NOT NULL
+                      AND (ls.s_dist = 0 OR length(t.term1) = 1)
+                 THEN struct_pack(term := ls.s_term,
+                                  dist := ls.s_dist,
+                                  cnt := CAST(ls.s_count AS DOUBLE))
+                 WHEN length(t.term1) > 1
+                 THEN (
+                     SELECT CASE WHEN fin.has
+                            THEN struct_pack(term := fin.term,
+                                             dist := fin.dist,
+                                             cnt := fin.cnt)
+                            ELSE struct_pack(term := t.term1,
+                                             dist := CAST(3 AS INTEGER),
+                                             cnt := 0.0) END
+                     FROM (
+                         SELECT list_reduce(
+                             list_prepend(
+                                 struct_pack(
+                                     has := ls.s_term IS NOT NULL,
+                                     term := COALESCE(ls.s_term, ''),
+                                     dist := COALESCE(ls.s_dist, CAST(999 AS INTEGER)),
+                                     cnt := CASE WHEN ls.s_term IS NOT NULL
+                                                 THEN CAST(ls.s_count AS DOUBLE)
+                                                 ELSE -1.0 END),
+                                 COALESCE(sr.cands,
+                                          CAST([] AS STRUCT(has BOOLEAN,
+                                               term VARCHAR, dist INTEGER,
+                                               cnt DOUBLE)[]))),
+                             (acc, c) -> CASE
+                                 WHEN acc.has AND c.dist > acc.dist THEN acc
+                                 WHEN (NOT acc.has) OR c.dist < acc.dist
+                                      OR c.cnt > acc.cnt
+                                 THEN struct_pack(has := true, term := c.term,
+                                                  dist := c.dist, cnt := c.cnt)
+                                 ELSE acc END) AS fin
+                     )
+                 )
+                 ELSE struct_pack(term := t.term1, dist := CAST(3 AS INTEGER),
+                                  cnt := 1.0)
+               END AS part_nm
+        FROM toks t
+        LEFT JOIN lut ls ON ls.query = t.term1
+        LEFT JOIN lut lc ON lc.query = t.combo
+        LEFT JOIN split_red sr ON sr.term1 = t.term1
+    ),
+    fold AS (
+        SELECT doc_id, -1 AS t,
+               CAST([] AS STRUCT(term VARCHAR, dist INTEGER, cnt DOUBLE)[]) AS hist,
+               false AS lastcombi
+        FROM ph
+        UNION ALL
+        SELECT f.doc_id, f.t + 1,
+               CASE WHEN f.t >= 0 AND NOT f.lastcombi
+                         AND r.combi_term IS NOT NULL
+                         AND (r.combi_dist + 1
+                                < f.hist[len(f.hist)].dist + r.b2.dist
+                              OR (r.combi_dist + 1
+                                    = f.hist[len(f.hist)].dist + r.b2.dist
+                                  AND CAST(r.combi_count AS DOUBLE)
+                                        > f.hist[len(f.hist)].cnt
+                                          / {DEFAULT_CORPUS_N} * r.b2.cnt))
+                    THEN list_append(f.hist[1:len(f.hist) - 1],
+                                     struct_pack(term := r.combi_term,
+                                                 dist := CAST(r.combi_dist + 1
+                                                              AS INTEGER),
+                                                 cnt := CAST(r.combi_count
+                                                             AS DOUBLE)))
+                    ELSE list_append(f.hist, r.part_nm) END,
+               (f.t >= 0 AND NOT f.lastcombi AND r.combi_term IS NOT NULL
+                AND (r.combi_dist + 1 < f.hist[len(f.hist)].dist + r.b2.dist
+                     OR (r.combi_dist + 1
+                           = f.hist[len(f.hist)].dist + r.b2.dist
+                         AND CAST(r.combi_count AS DOUBLE)
+                               > f.hist[len(f.hist)].cnt
+                                 / {DEFAULT_CORPUS_N} * r.b2.cnt)))
+        FROM fold f JOIN rowsx r ON r.doc_id = f.doc_id AND r.pos = f.t + 1
+    ),
+    final AS (
+        SELECT f.doc_id, f.hist
+        FROM fold f
+        JOIN (SELECT doc_id, max(pos) AS mp FROM toks GROUP BY doc_id) mx
+          ON mx.doc_id = f.doc_id AND f.t = mx.mp
+    )
+    SELECT p.doc_id,
+           array_to_string(list_transform(f.hist, x -> x.term), ' ') AS term,
+           CAST(levenshtein(p.phrase,
+                array_to_string(list_transform(f.hist, x -> x.term), ' '))
+                AS INT) AS distance,
+           CAST(trunc(list_reduce(
+               list_prepend(CAST({DEFAULT_CORPUS_N} AS DOUBLE),
+                            list_transform(f.hist, x -> x.cnt)),
+               (acc, c) -> acc * (c / {DEFAULT_CORPUS_N}))) AS BIGINT) AS count
+    FROM final f JOIN ph p USING (doc_id)""",
         # Replays the reference's triangular segmentation DP
         # (symspellpy.py:867-1015) as a recursive-CTE prefix DP: best[p]
         # (the Composition for the length-p prefix) is folded left over
@@ -1648,6 +1871,105 @@ def oracle_sql() -> dict[str, str]:
                                           ELSE d.hist[s.j + 1].seg || ' ' || s.part END,
                              'corr': CASE WHEN s.j = 0 THEN s.part
                                           ELSE d.hist[s.j + 1].corr || ' ' || s.part END,
+                             'dist': CASE WHEN s.j = 0 THEN s.top_ed
+                                          ELSE d.hist[s.j + 1].dist + 1 + s.top_ed END,
+                             'logp': CASE WHEN s.j = 0 THEN s.top_logp
+                                          ELSE d.hist[s.j + 1].logp + s.top_logp END,
+                             'cmp': CASE WHEN s.j = 0 THEN s.top_ed
+                                         ELSE d.hist[s.j + 1].dist + 1 + s.top_ed END}}
+                            ORDER BY s.j),
+                       (acc, c) -> CASE WHEN c.cmp < acc.dist
+                                         OR (acc.dist IN (c.cmp, c.cmp - 1)
+                                             AND acc.logp < c.logp)
+                                   THEN c ELSE acc END)
+                   FROM scored s
+                   WHERE s.doc_id = d.doc_id AND s.j + s.i = d.t + 1
+               ))
+        FROM dp d JOIN ph p ON p.doc_id = d.doc_id
+        WHERE d.t < p.n
+    )
+    SELECT p.doc_id,
+           d.hist[p.n + 1].seg AS segmented_string,
+           d.hist[p.n + 1].corr AS corrected_string,
+           CAST(d.hist[p.n + 1].dist AS INT) AS distance_sum
+    FROM dp d JOIN ph p ON p.doc_id = d.doc_id
+    WHERE d.t = p.n""",
+        # Q4 FUZZY (d=1) segmentation — the same recursive-CTE DP replay
+        # as d=0 with per-cell scoring swapped for a TOP-1 fuzzy lookup:
+        # an in-vocab part scores (ed=0, log10(count/N)); an OOV part
+        # takes its best damerau_levenshtein<=1 vocab term by the
+        # engine's OOV tie-break (all matches have ed exactly 1, so TOP
+        # = count DESC, term ASC — segmentation.py resolve_fuzzy_d1) and
+        # scores (ed=1, log10(count/N)); no match scores the closed
+        # unknown-word formula. DuckDB's damerau_levenshtein is the
+        # UNRESTRICTED distance while the engine verifies OSA, but at
+        # threshold <=1 the two are identical (they first diverge at
+        # distance 2). corrected_string folds the matched term, not the
+        # raw part.
+        "word_segmentation_fuzzy": f"""
+    WITH RECURSIVE tok AS (
+        SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+        FROM documents
+    ),
+    vocab AS (SELECT term, CAST(count(*) AS BIGINT) AS count FROM tok GROUP BY term),
+    maxw AS (SELECT max(length(term)) AS L FROM vocab),
+    ph AS (
+        SELECT doc_id, replace(substr(text, 1, 80), ' ', '') AS phrase,
+               length(replace(substr(text, 1, 80), ' ', '')) AS n
+        FROM documents
+        WHERE doc_id < 50 AND length(replace(substr(text, 1, 80), ' ', '')) > 0
+    ),
+    cells AS (
+        SELECT p.doc_id, j, i, substr(p.phrase, j + 1, i) AS part
+        FROM ph p, maxw m,
+             unnest(range(0, p.n)) AS tj(j),
+             unnest(range(1, least(p.n - tj.j, m.L) + 1)) AS ti(i)
+    ),
+    exact AS (
+        SELECT c.doc_id, c.j, c.i, c.part, v.count AS ec
+        FROM cells c LEFT JOIN vocab v ON v.term = c.part
+    ),
+    fuzzy AS (
+        SELECT part, term, count FROM (
+            SELECT o.part, v.term, v.count, row_number() OVER (
+                PARTITION BY o.part ORDER BY v.count DESC, v.term
+            ) AS rn
+            FROM (SELECT DISTINCT part FROM exact WHERE ec IS NULL) o
+            JOIN vocab v
+              ON abs(length(o.part) - length(v.term)) <= 1
+             AND damerau_levenshtein(o.part, v.term) <= 1
+        ) WHERE rn = 1
+    ),
+    scored AS (
+        SELECT e.doc_id, e.j, e.i, e.part,
+               CASE WHEN e.ec IS NOT NULL THEN e.part
+                    WHEN f.term IS NOT NULL THEN f.term
+                    ELSE e.part END AS top_result,
+               CASE WHEN e.ec IS NOT NULL THEN 0
+                    WHEN f.term IS NOT NULL THEN 1
+                    ELSE length(e.part) END AS top_ed,
+               CASE WHEN e.ec IS NOT NULL
+                    THEN log10(CAST(e.ec AS DOUBLE) / {DEFAULT_CORPUS_N})
+                    WHEN f.term IS NOT NULL
+                    THEN log10(CAST(f.count AS DOUBLE) / {DEFAULT_CORPUS_N})
+                    ELSE 1.0 - log10(CAST({DEFAULT_CORPUS_N} AS DOUBLE))
+                         - CAST(length(e.part) AS DOUBLE)
+               END AS top_logp
+        FROM exact e LEFT JOIN fuzzy f ON f.part = e.part
+    ),
+    dp AS (
+        SELECT doc_id, 0 AS t,
+               [{{'seg': '', 'corr': '', 'dist': 0,
+                  'logp': CAST(0.0 AS DOUBLE), 'cmp': 0}}] AS hist
+        FROM ph
+        UNION ALL
+        SELECT d.doc_id, d.t + 1,
+               list_append(d.hist, (
+                   SELECT list_reduce(
+                       list({{'seg': CASE WHEN s.j = 0 THEN s.part
+                                          ELSE d.hist[s.j + 1].seg || ' ' || s.part END,
+                             'corr': CASE WHEN s.j = 0 THEN s.top_result
+                                          ELSE d.hist[s.j + 1].corr || ' ' || s.top_result END,
                              'dist': CASE WHEN s.j = 0 THEN s.top_ed
                                           ELSE d.hist[s.j + 1].dist + 1 + s.top_ed END,
                              'logp': CASE WHEN s.j = 0 THEN s.top_logp
