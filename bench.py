@@ -242,6 +242,22 @@ def main() -> None:
             n_s1 / timings["segmentation_en_d1_batch"], 1
         )
 
+        # fuzzy segmentation (d=2) over a 500-doc subset — the 28x
+        # cell-blowup configuration: every (start, len) substring takes
+        # a full depth-2 delete-neighborhood lookup
+        sdocs_d2 = sdocs.where(F.col("doc_id") < 500).localCheckpoint(eager=True)
+        n_s2 = sdocs_d2.count()
+        timed(
+            "segmentation_en_d2_batch",
+            lambda: word_segmentation_batch(
+                sdocs_d2, d, max_edit_distance=2
+            ).count(),
+        )
+        timings["segmentation_en_d2_docs"] = n_s2
+        timings["segmentation_en_d2_docs_per_sec"] = round(
+            n_s2 / timings["segmentation_en_d2_batch"], 1
+        )
+
     # --- flagship pipeline over a synthesized parquet pages table ---
     pages_path = os.path.join(scratch, f"pages_{n_pages}")
     shutil.rmtree(pages_path, ignore_errors=True)
@@ -271,6 +287,66 @@ def main() -> None:
             best = cur
     timings.update(best)
 
+    # --- winnowing local-match sweep (MOSS fingerprints -> pairs) ---
+    from pyspark.sql import functions as F
+
+    from symspellpy_spark.operators.dedup import winnowing_candidate_pairs
+
+    n_win_target = min(n_pages, 10_000)
+    frac = max(1, n_pages // n_win_target)
+    win_pages = pages.where(
+        F.crc32(F.col("url")) % frac == 0
+    ).localCheckpoint(eager=True)
+    n_win = win_pages.count()
+    timed(
+        "winnowing_pairs",
+        lambda: winnowing_candidate_pairs(win_pages, id_col="url").count(),
+    )
+    timings["winnowing_docs"] = n_win
+    timings["winnowing_docs_per_sec"] = round(
+        n_win / timings["winnowing_pairs"], 1
+    )
+
+    # --- streaming incremental LSH: drain the same corpus subset in 4
+    # micro-batches (batch-vs-history band-index probe per batch) ---
+    from symspellpy_spark.streaming.stream_dedup import run_incremental_lsh
+
+    n_st_target = min(n_pages, 20_000)
+    frac_st = max(1, n_pages // n_st_target)
+    st_pages = pages.where(F.crc32(F.col("url")) % frac_st == 0)
+    st_src = os.path.join(scratch, "stream_src")
+    shutil.rmtree(st_src, ignore_errors=True)
+    for i in range(4):
+        st_pages.where((F.crc32(F.col("url")) / frac_st).cast("long") % 4 == i).coalesce(
+            4
+        ).write.mode("overwrite").parquet(f"{st_src}/p{i}")
+    n_st = st_pages.count()
+    st_schema = spark.read.parquet(f"{st_src}/p0").schema
+    st_stream = (
+        spark.readStream.schema(st_schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(st_src + "/*")
+    )
+    st_state = os.path.join(scratch, "stream_state")
+    shutil.rmtree(st_state, ignore_errors=True)
+    t0 = time.perf_counter()
+    q = run_incremental_lsh(
+        spark,
+        st_stream,
+        os.path.join(st_state, "band_index"),
+        os.path.join(st_state, "pairs"),
+        checkpoint=os.path.join(st_state, "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    timings["streaming_lsh"] = round(time.perf_counter() - t0, 3)
+    timings["streaming_lsh_docs"] = n_st
+    timings["streaming_lsh_docs_per_sec"] = round(
+        n_st / timings["streaming_lsh"], 1
+    )
+    shutil.rmtree(st_src, ignore_errors=True)
+    shutil.rmtree(st_state, ignore_errors=True)
+
     non_time = (
         # pipeline_sec is the SUM of the three pipeline_* stage timings
         # already present in `timings` — excluding it avoids counting the
@@ -285,6 +361,12 @@ def main() -> None:
         "segmentation_en_docs_per_sec",
         "segmentation_en_d1_docs",
         "segmentation_en_d1_docs_per_sec",
+        "segmentation_en_d2_docs",
+        "segmentation_en_d2_docs_per_sec",
+        "winnowing_docs",
+        "winnowing_docs_per_sec",
+        "streaming_lsh_docs",
+        "streaming_lsh_docs_per_sec",
     )
     total = round(sum(v for k, v in timings.items() if k not in non_time), 3)
     print(

@@ -1041,6 +1041,33 @@ def winnowing_fingerprints(
     ).distinct()
 
 
+def winnowing_candidate_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    id_col: str = "url",
+    text_col: str = "text",
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """(id_a, id_b, shared_fingerprints) — documents sharing winnowing
+    fingerprints: the local-match candidate sweep (any shared substring
+    of length >= window + k - 1 guarantees a shared fingerprint, at
+    ~2/(window+1) sampling density). Complements MinHash-LSH (global
+    set overlap) and the content-defined substring pass (long exact
+    matches) with partial/local overlap detection. Same scale shape as
+    the other sweeps: equi-join on the fingerprint bucket, capped at
+    ``max_bucket_size`` (a fingerprint shared by half the web —
+    boilerplate — is evidence of nothing and would otherwise square)."""
+    fps = winnowing_fingerprints(
+        docs, k=k, window=window, id_col=id_col, text_col=text_col
+    ).select("id", "fingerprint").distinct()
+    return (
+        _bucket_pairs(fps, ["fingerprint"], "id", max_bucket_size)
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared_fingerprints"))
+    )
+
+
 def exact_duplicates(
     docs: DataFrame, id_col: str = "url", text_col: str = "text"
 ) -> DataFrame:

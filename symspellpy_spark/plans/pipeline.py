@@ -38,6 +38,7 @@ from symspellpy_spark.operators.dedup import (
     simhash_candidate_pairs,
     simhash_signatures,
     substring_fingerprint_pairs,
+    winnowing_candidate_pairs,
 )
 from symspellpy_spark.operators.dictionary import SparkDictionary
 from symspellpy_spark.operators.lookup import lookup_batch
@@ -66,6 +67,13 @@ class DedupConfig:
     # the rate halves the dominant candidate-stage shuffle
     substring_sample_mod: int = 16
     max_bucket_size: int = 1000
+    # winnowing local-match sweep (MOSS fingerprints): off by default —
+    # LSH + SimHash + substring already cover whole-doc near-dups; turn
+    # on to also catch PARTIAL overlap (a shared section >= 
+    # winnow_window + winnow_k - 1 chars guarantees a candidate pair)
+    use_winnowing: bool = False
+    winnow_k: int = 8
+    winnow_window: int = 4
     normalize_tokens: bool = False
     normalize_min_count: int = 0  # only correct tokens rarer than this
     engine: EngineConfig = field(default_factory=EngineConfig)
@@ -303,6 +311,15 @@ class DedupPipeline:
             )
         )
         pairs = lsh.unionByName(sim).unionByName(sub).unionByName(exact)
+        if c.use_winnowing:
+            win = winnowing_candidate_pairs(
+                pages64,
+                k=c.winnow_k,
+                window=c.winnow_window,
+                id_col="id",
+                max_bucket_size=c.max_bucket_size,
+            ).select("id_a", "id_b", F.lit("winnowing").alias("source"))
+            pairs = pairs.unionByName(win)
         # candidate rows are narrow; AQE would coalesce this exchange to
         # ~1 partition and serialize the dedup — pin a row-balanced
         # partitioning on the group keys (reused by the groupBy)

@@ -108,3 +108,45 @@ def test_symspell_normalization_improves_matching(spark):
     ids = {r["url"]: r["id"] for r in pipe._id_map(pages).collect()}
     toks = {r["id"]: list(r["tokens"]) for r in pipe.tokens(pages).collect()}
     assert toks[ids["u0"]] == toks[ids["u1"]] == texts[0].split()
+
+
+def test_winnowing_sweep_catches_partial_overlap(spark):
+    """With use_winnowing=True the candidate stage gains a 'winnowing'
+    source and catches PARTIAL overlap: two documents sharing only a
+    30-char section (shorter than substring_gram_len=40, far below the
+    Jaccard threshold corpus-wide) must still pair — winnowing
+    guarantees a shared fingerprint for any shared substring of length
+    >= winnow_window + winnow_k - 1 = 11."""
+    import random
+
+    rng = random.Random(7)
+    al = "abcdefghij "
+
+    def rand_text(n):
+        return "".join(rng.choice(al) for _ in range(n))
+
+    shared = rand_text(30)
+    rows = [
+        ("u1", rand_text(400) + shared + rand_text(400)),
+        ("u2", rand_text(350) + shared + rand_text(450)),
+    ] + [(f"u{i}", rand_text(800)) for i in range(3, 9)]
+    pages = spark.createDataFrame(rows, "url string, text string")
+
+    base = DedupPipeline(spark, DedupConfig())
+    base_pairs = base.candidate_pairs(pages).collect()
+    assert not any("winnowing" in r["sources"] for r in base_pairs)
+
+    pipe = DedupPipeline(spark, DedupConfig(use_winnowing=True))
+    pairs = pipe.candidate_pairs(pages).collect()
+    id_of = {
+        r["url"]: r["id"]
+        for r in pages.select(
+            F.xxhash64("url").alias("id"), "url"
+        ).collect()
+    }
+    want = tuple(sorted((id_of["u1"], id_of["u2"])))
+    by_pair = {
+        tuple(sorted((r["id_a"], r["id_b"]))): set(r["sources"]) for r in pairs
+    }
+    assert want in by_pair, (want, sorted(by_pair))
+    assert "winnowing" in by_pair[want]
