@@ -30,6 +30,10 @@ from pyspark.sql.types import ArrayType, LongType
 
 __all__ = [
     "winnowing_fingerprints",
+    "winnowing_candidate_pairs",
+    "text_to_shingle_hashes",
+    "pack_hashes",
+    "unpack_hashes",
     "normalized_tokens",
     "shingles",
     "combined_signatures",
@@ -368,6 +372,7 @@ def tokens_to_signatures(
     id_col: str = "id",
     tokens_col: str = "tokens",
     n_bands: int | None = None,
+    shingles_only: bool = False,
 ) -> DataFrame:
     """(id, shingle_hashes, minhash, simhash) in ONE Arrow pass.
 
@@ -393,7 +398,7 @@ def tokens_to_signatures(
     than the minhash itself — RDD-level checkpoints do not column-prune,
     so every byte in the signature row is paid by every downstream scan.
     """
-    siggen = _SignatureGen(k, num_perm, seed, n_bands)
+    siggen = _SignatureGen(k, num_perm, seed, n_bands, shingles_only)
 
     def _batches(it):
         import pyarrow as pa
@@ -429,14 +434,21 @@ def tokens_to_signatures(
             d_start = l_off - t0  # per-doc token offsets, 0-based
             yield siggen.batch_from_token_hashes(ids, z, d_start)
 
-    schema = _sig_schema(tokens, id_col, n_bands)
+    schema = _sig_schema(tokens, id_col, n_bands, shingles_only)
     return tokens.select(
         F.col(id_col).alias("id"), F.col(tokens_col).alias("tokens")
     ).mapInArrow(_batches, schema)
 
 
-def _sig_schema(df: DataFrame, id_col: str, n_bands: int | None) -> str:
+def _sig_schema(
+    df: DataFrame,
+    id_col: str,
+    n_bands: int | None,
+    shingles_only: bool = False,
+) -> str:
     id_type = df.select(F.col(id_col).alias("id")).schema[0].dataType.simpleString()
+    if shingles_only:
+        return f"id {id_type}, shingle_hashes array<bigint>"
     schema = (
         f"id {id_type}, shingle_hashes array<bigint>, "
         "minhash array<bigint>, simhash bigint"
@@ -451,11 +463,20 @@ class _SignatureGen:
     shingle hashes -> per-doc dedup -> MinHash/SimHash/band hashes ->
     output RecordBatch."""
 
-    def __init__(self, k: int, num_perm: int, seed: int, n_bands: int | None):
+    def __init__(
+        self,
+        k: int,
+        num_perm: int,
+        seed: int,
+        n_bands: int | None,
+        shingles_only: bool = False,
+    ):
         self.k = k
         self.num_perm = num_perm
         self.n_bands = n_bands
-        self.a, self.b = _minhash_params(num_perm, seed)
+        self.shingles_only = shingles_only
+        if not shingles_only:
+            self.a, self.b = _minhash_params(num_perm, seed)
         self.tok_poly = _PolyPrefix(_TOK_BASE)
         self.shg_poly = _PolyPrefix(_SHG_BASE)
         if n_bands:
@@ -512,6 +533,16 @@ class _SignatureGen:
         counts = np.bincount(all_doc, minlength=n)
         sh_offs = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(counts, out=sh_offs[1:])
+        if self.shingles_only:
+            # verify-phase-2 re-derivation: shingle sets only, no
+            # MinHash/SimHash/band work
+            out_sh = pa.ListArray.from_arrays(
+                pa.array(sh_offs, type=pa.int32()),
+                pa.array(all_val, type=pa.int64()),
+            )
+            return pa.RecordBatch.from_arrays(
+                [ids, out_sh], names=["id", "shingle_hashes"]
+            )
         # signatures over the deduped flat shingle hashes
         mh, sim = _sig_from_flat(
             all_val.astype(np.uint64), sh_offs, num_perm, self.a, self.b
@@ -578,6 +609,7 @@ def text_to_signatures(
     id_col: str = "id",
     text_col: str = "text",
     n_bands: int | None = None,
+    shingles_only: bool = False,
 ) -> DataFrame:
     """(id, shingle_hashes, minhash, simhash[, bands]) straight from raw
     text — tokenization included in the Arrow kernel.
@@ -591,7 +623,7 @@ def text_to_signatures(
     lowercases ASCII in one vectorized pass and finds token runs with
     boolean-mask shifts.
     """
-    siggen = _SignatureGen(k, num_perm, seed, n_bands)
+    siggen = _SignatureGen(k, num_perm, seed, n_bands, shingles_only)
 
     def _batches(it):
         import pyarrow as pa
@@ -643,10 +675,61 @@ def text_to_signatures(
             d_start = np.searchsorted(tok_starts, bounds, side="left")
             yield siggen.batch_from_token_hashes(ids, z, d_start)
 
-    schema = _sig_schema(docs, id_col, n_bands)
+    schema = _sig_schema(docs, id_col, n_bands, shingles_only)
     return docs.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
     ).mapInArrow(_batches, schema)
+
+
+def text_to_shingle_hashes(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, shingle_hashes) — the fused kernel's shingle sets alone.
+
+    The verify-phase-2 re-derivation used when signature checkpoints
+    drop the fat ``shingle_hashes`` column (DedupConfig
+    checkpoint_shingles=False): one tokenize+shingle Arrow pass over
+    text, no MinHash/SimHash/band work. Hash-identical to the
+    ``shingle_hashes`` the full kernel emits (same code path), and
+    independent of (num_perm, seed), which only parameterize MinHash.
+    """
+    return text_to_signatures(
+        docs, k=k, id_col=id_col, text_col=text_col, shingles_only=True
+    )
+
+
+def pack_hashes(col: "F.Column") -> "F.Column":
+    """array<long> -> binary: little-endian fixed-width int64s.
+
+    Signature checkpoints store minhash packed: parquet then encodes it
+    as one plain byte run per doc (no per-element repetition levels)."""
+
+    @F.pandas_udf("binary")
+    def _pack(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda a: None
+            if a is None
+            else np.asarray(a, dtype="<i8").tobytes()
+        )
+
+    return _pack(col)
+
+
+def unpack_hashes(col: "F.Column") -> "F.Column":
+    """binary (little-endian int64s) -> array<long> — pack_hashes⁻¹."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _unpack(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda b: None
+            if b is None
+            else np.frombuffer(b, dtype="<i8").tolist()
+        )
+
+    return _unpack(col)
 
 
 def _bucket_pairs(
@@ -1094,6 +1177,7 @@ def jaccard_verify(
     hashes_col: str = "shingle_hashes",
     minhash_prefilter_margin: float | None = 0.2,
     two_phase: bool = False,
+    hashes_df: DataFrame | None = None,
 ) -> DataFrame:
     """Verify candidate pairs with *exact* shingle-set Jaccard.
 
@@ -1149,7 +1233,9 @@ def jaccard_verify(
             )
             .drop("_ma", "_mb")
         )
-        sh = signatures.select("id", hashes_col)
+        sh = (hashes_df if hashes_df is not None else signatures).select(
+            "id", hashes_col
+        )
         joined = est_pairs.join(
             sh.select(F.col("id").alias("id_a"), F.col(hashes_col).alias("_ha")),
             "id_a",
@@ -1167,8 +1253,14 @@ def jaccard_verify(
             .where(F.col("jaccard") >= threshold)
         )
 
-    cols = ["id", hashes_col] + (["minhash"] if use_prefilter else [])
-    sig = signatures.select(*cols)
+    if hashes_df is not None:
+        sig = signatures.select(
+            "id", *(["minhash"] if use_prefilter else [])
+        ).join(hashes_df.select("id", hashes_col), "id")
+    else:
+        sig = signatures.select(
+            "id", hashes_col, *(["minhash"] if use_prefilter else [])
+        )
     a = sig.select(
         F.col("id").alias("id_a"),
         F.col(hashes_col).alias("_ha"),

@@ -74,6 +74,14 @@ class DedupConfig:
     use_winnowing: bool = False
     winnow_k: int = 8
     winnow_window: int = 4
+    # False (default): the signatures checkpoint stores only
+    # (id, minhash packed as 1KB binary, simhash, bands) with zstd —
+    # the fat shingle_hashes column (the majority of signature bytes)
+    # is re-derived by a shingles-only kernel pass at verify phase 2,
+    # where only estimate-surviving pairs ever read it. True restores
+    # the legacy full-width checkpoint (pay bytes, skip the re-derive).
+    checkpoint_shingles: bool = False
+    checkpoint_codec: str = "zstd"
     normalize_tokens: bool = False
     normalize_min_count: int = 0  # only correct tokens rarer than this
     engine: EngineConfig = field(default_factory=EngineConfig)
@@ -132,7 +140,10 @@ class DedupPipeline:
         if self._catalog is None:
             return df
         return self._catalog.save(
-            df, stage, {"config": self.config.to_json(), "stage": stage}
+            df,
+            stage,
+            {"config": self.config.to_json(), "stage": stage},
+            compression=self.config.checkpoint_codec,
         )
 
     def _metric_count(self, stage: str, df: DataFrame) -> None:
@@ -231,6 +242,7 @@ class DedupPipeline:
             return self._memo["signatures"]
         cached = self._load_ckpt("signatures")
         if cached is not None:
+            cached = self._unpack_sig(cached)
             self._memo["signatures"] = cached
             return cached
         from symspellpy_spark.operators.dedup import (
@@ -257,12 +269,39 @@ class DedupPipeline:
                 seed=self.config.minhash_seed,
                 n_bands=self.config.bands,
             )
+        if not self.config.checkpoint_shingles:
+            # narrow the persisted relation: shingle_hashes is the
+            # majority of signature bytes, its ONLY consumer is verify
+            # phase 2 (estimate survivors), and neither the RDD
+            # localCheckpoint nor a parquet scan column-prunes what the
+            # checkpoint row carries for the banding/probing consumers
+            from symspellpy_spark.operators.dedup import pack_hashes
+
+            sig = sig.select(
+                "id",
+                pack_hashes(F.col("minhash")).alias("minhash_bin"),
+                "simhash",
+                "bands",
+            )
         if self.checkpoint_dir is None:
             sig = sig.localCheckpoint(eager=False)
         sig = self._save_ckpt("signatures", sig)
+        sig = self._unpack_sig(sig)
         self._metric_count("signatures", sig)
         self._memo["signatures"] = sig
         return sig
+
+    def _unpack_sig(self, sig: DataFrame) -> DataFrame:
+        if "minhash_bin" not in sig.columns:
+            return sig
+        from symspellpy_spark.operators.dedup import unpack_hashes
+
+        return sig.select(
+            "id",
+            unpack_hashes(F.col("minhash_bin")).alias("minhash"),
+            "simhash",
+            "bands",
+        )
 
     def _signatures_narrow(self, pages: DataFrame) -> DataFrame:
         """(id, bands, simhash) — candidate generation reads THIS.
@@ -340,11 +379,22 @@ class DedupPipeline:
         sig = self.signatures(pages)
         pairs = self.candidate_pairs(pages).localCheckpoint(eager=False)
         self._metric_count("candidates", pairs)
+        hashes_df = None
+        if "shingle_hashes" not in sig.columns:
+            # narrow checkpoint: re-derive the shingle sets in one
+            # tokenize+shingle Arrow pass; phase 2 joins them only for
+            # estimate-surviving pairs
+            from symspellpy_spark.operators.dedup import text_to_shingle_hashes
+
+            hashes_df = text_to_shingle_hashes(
+                self._pages64(pages), k=self.config.shingle_k
+            )
         # two_phase: signatures are checkpointed here, so the extra
         # narrow-minhash join is a cheap re-scan and the fat shingle
         # arrays are only shuffled for pairs that survive the estimate
         verified = jaccard_verify(
-            pairs, sig, threshold=self.config.jaccard_threshold, two_phase=True
+            pairs, sig, threshold=self.config.jaccard_threshold, two_phase=True,
+            hashes_df=hashes_df
         ).select("id_a", "id_b", "jaccard", "sources")
         # exact-substring / exact-hash pairs are kept even below the
         # Jaccard threshold: containment, not symmetric similarity

@@ -65,7 +65,13 @@ class TableCatalog:
     def _dir(self, name: str) -> str:
         return os.path.join(self.base_path, name)
 
-    def save(self, df: DataFrame, name: str, properties: dict) -> DataFrame:
+    def save(
+        self,
+        df: DataFrame,
+        name: str,
+        properties: dict,
+        compression: str | None = None,
+    ) -> DataFrame:
         if self.use_iceberg:
             self.spark.sql(
                 f"CREATE NAMESPACE IF NOT EXISTS {self.catalog}.{self.namespace}"
@@ -73,11 +79,18 @@ class TableCatalog:
             writer = df.writeTo(self._ident(name))
             for k, v in properties.items():
                 writer = writer.tableProperty(str(k), json.dumps(v))
+            if compression:
+                writer = writer.tableProperty(
+                    "write.parquet.compression-codec", compression
+                )
             writer = writer.tableProperty("graft.ts", str(time.time()))
             writer.createOrReplace()
             return self.spark.read.table(self._ident(name))
         path = self._dir(name)
-        df.write.mode("overwrite").parquet(os.path.join(path, "data"))
+        w = df.write.mode("overwrite")
+        if compression:
+            w = w.option("compression", compression)
+        w.parquet(os.path.join(path, "data"))
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "_PROPERTIES.json"), "w") as fh:
             json.dump(dict(properties, ts=time.time()), fh)

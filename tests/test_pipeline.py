@@ -150,3 +150,41 @@ def test_winnowing_sweep_catches_partial_overlap(spark):
     }
     assert want in by_pair, (want, sorted(by_pair))
     assert "winnowing" in by_pair[want]
+
+
+def test_narrow_signature_checkpoint_bytes_and_equivalence(spark, pages, tmp_path):
+    """The default (narrow, zstd, packed-minhash) signatures checkpoint
+    must (a) be substantially smaller on disk than the legacy full
+    checkpoint and (b) leave every pipeline output identical — the
+    shingle sets re-derived at verify phase 2 are hash-identical to the
+    ones the legacy checkpoint stored."""
+    import os
+
+    def du(path):
+        total = 0
+        for root, _, files in os.walk(path):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total
+
+    narrow_dir = str(tmp_path / "ck_narrow")
+    full_dir = str(tmp_path / "ck_full")
+    p_narrow = DedupPipeline(
+        spark, DedupConfig(), checkpoint_dir=narrow_dir
+    )
+    p_full = DedupPipeline(
+        spark,
+        DedupConfig(checkpoint_shingles=True, checkpoint_codec="snappy"),
+        checkpoint_dir=full_dir,
+    )
+    out_n = {
+        (r["url"], r["cluster_id"])
+        for r in p_narrow.run(pages)["clusters"].collect()
+    }
+    out_f = {
+        (r["url"], r["cluster_id"])
+        for r in p_full.run(pages)["clusters"].collect()
+    }
+    assert out_n == out_f and len(out_n) > 0
+    b_narrow = du(os.path.join(narrow_dir, "signatures"))
+    b_full = du(os.path.join(full_dir, "signatures"))
+    assert b_narrow < 0.55 * b_full, (b_narrow, b_full)
