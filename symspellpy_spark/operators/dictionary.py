@@ -53,6 +53,7 @@ class SparkDictionary:
     bigrams: DataFrame | None = None
     _max_length: int | None = None
     _bigram_count_min: int | None = None
+    _num_terms: int | None = None
 
     # ---------------- constructors ----------------
 
@@ -183,6 +184,16 @@ class SparkDictionary:
         )
 
     # ---------------- derived scalars ----------------
+
+    @property
+    def num_terms(self) -> int:
+        """Vocabulary size (cached). Gates the broadcast-collect fast
+        paths: a web-scale vocabulary must not be collected to the
+        driver, so segmentation/lookup fall back to their relational
+        shapes above ``broadcast_vocab_limit``."""
+        if self._num_terms is None:
+            self._num_terms = self.words.count()
+        return self._num_terms
 
     @property
     def max_length(self) -> int:

@@ -131,10 +131,28 @@ def lookup_batch_local(
     ignore_pattern: str | None = None,
     transfer_casing: bool = False,
     query_col: str = "query",
+    broadcast_vocab_limit: int = 1_000_000,
 ) -> DataFrame:
     """Drop-in result-equivalent of ``lookup_batch`` for
     worker-broadcastable dictionaries. -> (query, term, distance, count)
     over the DISTINCT queries."""
+    if dictionary.num_terms > broadcast_vocab_limit:
+        # a web-scale vocabulary must not be collected to the driver:
+        # delegate to the relational staged path (the bucketed index,
+        # dictionary.save_bucketed, covers the too-big-to-broadcast
+        # dictionary there too)
+        from symspellpy_spark.operators.lookup import lookup_batch
+
+        return lookup_batch(
+            queries,
+            dictionary,
+            verbosity,
+            max_edit_distance=max_edit_distance,
+            include_unknown=include_unknown,
+            ignore_pattern=ignore_pattern,
+            transfer_casing=transfer_casing,
+            query_col=query_col,
+        )
     cfg = dictionary.config
     if max_edit_distance is None:
         max_edit_distance = cfg.max_dictionary_edit_distance

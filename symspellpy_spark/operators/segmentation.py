@@ -52,6 +52,7 @@ def word_segmentation_batch(
     doc_col: str = "doc_id",
     text_col: str = "text",
     strategy: str = "auto",
+    broadcast_vocab_limit: int = 1_000_000,
 ) -> DataFrame:
     """-> (doc_id, segmented_string, corrected_string, distance_sum,
     log_prob_sum) — one row per document (the reference's Composition).
@@ -82,7 +83,15 @@ def word_segmentation_batch(
     n_const = float(cfg.corpus_n)
     max_word_len = max_segmentation_word_length
 
-    if max_edit_distance == 0:
+    # the broadcast fast paths collect the whole vocabulary to the
+    # driver (fine at dictionary scale: 82k terms ~ 2MB; a 100TB-corpus
+    # vocabulary is a driver/worker-memory bottleneck) — above the
+    # limit, route to the relational shape automatically
+    broadcastable = (
+        strategy != "relational"
+        and dictionary.num_terms <= broadcast_vocab_limit
+    )
+    if max_edit_distance == 0 and broadcastable:
         return _segmentation_broadcast_d0(
             docs,
             dictionary,
@@ -92,7 +101,7 @@ def word_segmentation_batch(
             doc_col,
             text_col,
         )
-    if strategy == "auto":
+    if strategy == "auto" and broadcastable:
         return _segmentation_broadcast_fuzzy(
             docs,
             dictionary,

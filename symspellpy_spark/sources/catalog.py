@@ -1,12 +1,16 @@
 """Checkpoint table catalog: Iceberg when available, parquet otherwise.
 
-The production target is Iceberg (BASELINE.json: "resumable from
+STATUS — parquet-checkpointed with an Iceberg-ready layout. The
+production target is Iceberg (BASELINE.json: "resumable from
 Iceberg-checkpointed signature and edge tables"): snapshots give
 atomic commits, schema evolution, and table properties for the config
-stamp. The sandbox has no Iceberg runtime jar, so availability is
-probed at runtime and the parquet layout (data/ + _PROPERTIES.json)
-serves as the fallback with identical semantics: config-stamped,
-atomic-enough (directory overwrite), resumable.
+stamp. This environment has no Iceberg runtime jar and no network to
+fetch one, so ONLY the parquet branch (data/ + _PROPERTIES.json —
+config-stamped, atomic-enough via directory overwrite, resumable) is
+exercised by the test suite; the Iceberg branch is written against the
+public DataFrameWriterV2/tableProperty API but is UNTESTED here and
+should be smoke-tested once on a cluster with the jar before relying
+on it.
 
 To enable Iceberg on a real cluster:
     spark-submit --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver> \

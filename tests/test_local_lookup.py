@@ -81,3 +81,24 @@ def test_membership_probe_d0(spark, small_dict):
     rel = _rows(lookup_batch(qdf, small_dict, Verbosity.TOP, max_edit_distance=0))
     loc = _rows(lookup_batch_local(qdf, small_dict, Verbosity.TOP, max_edit_distance=0))
     assert loc == rel == [("steam", "steam", 0, 10)]
+
+
+def test_vocab_limit_routes_to_relational(spark):
+    """lookup_batch_local above broadcast_vocab_limit must delegate to
+    the relational lookup_batch (no driver-side vocab collect) with
+    identical results."""
+    from symspellpy_spark.config import Verbosity
+    from symspellpy_spark.operators.dictionary import SparkDictionary
+    from symspellpy_spark.operators.local_lookup import lookup_batch_local
+
+    words = spark.createDataFrame(
+        [("steam", 10), ("steem", 8), ("spark", 4)], "term string, count long"
+    )
+    d = SparkDictionary.from_words(spark, words)
+    q = spark.createDataFrame([("steems",), ("sprak",)], "query string")
+    fast = lookup_batch_local(q, d, Verbosity.ALL)
+    routed = lookup_batch_local(q, d, Verbosity.ALL, broadcast_vocab_limit=2)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan  # relational shape
+    key = lambda r: (r["query"], r["term"], r["distance"], r["count"])  # noqa: E731
+    assert sorted(map(key, fast.collect())) == sorted(map(key, routed.collect()))

@@ -176,3 +176,35 @@ def test_fuzzy_ignore_pattern_strategies_agree(spark, en_dict2):
         ).collect()
     }
     assert fast == rel
+
+
+def test_vocab_limit_routes_to_relational(spark):
+    """Above broadcast_vocab_limit the auto strategy must NOT collect
+    the vocabulary to the driver: the plan switches to the relational
+    shape (joins) and results stay identical."""
+    from symspellpy_spark.operators.dictionary import SparkDictionary
+    from symspellpy_spark.operators.segmentation import word_segmentation_batch
+
+    words = spark.createDataFrame(
+        [("steam", 10), ("spark", 5), ("stream", 7), ("par", 3)],
+        "term string, count long",
+    )
+    d = SparkDictionary.from_words(spark, words)
+    docs = spark.createDataFrame(
+        [(1, "steamspark"), (2, "sparkpar")], "doc_id long, text string"
+    )
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    for dist in (0, 1):
+        fast = word_segmentation_batch(docs, d, max_edit_distance=dist)
+        routed = word_segmentation_batch(
+            docs, d, max_edit_distance=dist, broadcast_vocab_limit=2
+        )
+        assert "Join" not in plan(fast)
+        assert "Join" in plan(routed), dist
+        cols = ["doc_id", "segmented_string", "corrected_string", "distance_sum"]
+        assert sorted(map(tuple, fast.select(cols).collect())) == sorted(
+            map(tuple, routed.select(cols).collect())
+        ), dist
