@@ -42,6 +42,7 @@ BENCH_REPS = os.environ.get("BENCH_REPS", "3")
 def run(cpus: int) -> dict:
     env = dict(
         os.environ,
+        BENCH_ONLY="pipeline",
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_SF_DIR=SF_DIR,
         BENCH_PIPELINE_DOCS=str(DOCS),

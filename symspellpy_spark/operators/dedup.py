@@ -373,6 +373,8 @@ def tokens_to_signatures(
     tokens_col: str = "tokens",
     n_bands: int | None = None,
     shingles_only: bool = False,
+    emit_shingles: bool = True,
+    pack_minhash: bool = False,
 ) -> DataFrame:
     """(id, shingle_hashes, minhash, simhash) in ONE Arrow pass.
 
@@ -398,7 +400,9 @@ def tokens_to_signatures(
     than the minhash itself — RDD-level checkpoints do not column-prune,
     so every byte in the signature row is paid by every downstream scan.
     """
-    siggen = _SignatureGen(k, num_perm, seed, n_bands, shingles_only)
+    siggen = _SignatureGen(
+        k, num_perm, seed, n_bands, shingles_only, emit_shingles, pack_minhash
+    )
 
     def _batches(it):
         import pyarrow as pa
@@ -434,7 +438,9 @@ def tokens_to_signatures(
             d_start = l_off - t0  # per-doc token offsets, 0-based
             yield siggen.batch_from_token_hashes(ids, z, d_start)
 
-    schema = _sig_schema(tokens, id_col, n_bands, shingles_only)
+    schema = _sig_schema(
+        tokens, id_col, n_bands, shingles_only, emit_shingles, pack_minhash
+    )
     return tokens.select(
         F.col(id_col).alias("id"), F.col(tokens_col).alias("tokens")
     ).mapInArrow(_batches, schema)
@@ -445,14 +451,19 @@ def _sig_schema(
     id_col: str,
     n_bands: int | None,
     shingles_only: bool = False,
+    emit_shingles: bool = True,
+    pack_minhash: bool = False,
 ) -> str:
     id_type = df.select(F.col(id_col).alias("id")).schema[0].dataType.simpleString()
     if shingles_only:
         return f"id {id_type}, shingle_hashes array<bigint>"
-    schema = (
-        f"id {id_type}, shingle_hashes array<bigint>, "
-        "minhash array<bigint>, simhash bigint"
+    schema = f"id {id_type}"
+    if emit_shingles:
+        schema += ", shingle_hashes array<bigint>"
+    schema += (
+        ", minhash_bin binary" if pack_minhash else ", minhash array<bigint>"
     )
+    schema += ", simhash bigint"
     if n_bands:
         schema += ", bands array<bigint>"
     return schema
@@ -470,11 +481,15 @@ class _SignatureGen:
         seed: int,
         n_bands: int | None,
         shingles_only: bool = False,
+        emit_shingles: bool = True,
+        pack_minhash: bool = False,
     ):
         self.k = k
         self.num_perm = num_perm
         self.n_bands = n_bands
         self.shingles_only = shingles_only
+        self.emit_shingles = emit_shingles
+        self.pack_minhash = pack_minhash
         if not shingles_only:
             self.a, self.b = _minhash_params(num_perm, seed)
         self.tok_poly = _PolyPrefix(_TOK_BASE)
@@ -547,18 +562,47 @@ class _SignatureGen:
         mh, sim = _sig_from_flat(
             all_val.astype(np.uint64), sh_offs, num_perm, self.a, self.b
         )
-        out_sh = pa.ListArray.from_arrays(
-            pa.array(sh_offs, type=pa.int32()),
-            pa.array(all_val, type=pa.int64()),
+        out_sh = (
+            pa.ListArray.from_arrays(
+                pa.array(sh_offs, type=pa.int32()),
+                pa.array(all_val, type=pa.int64()),
+            )
+            if self.emit_shingles
+            else None
         )
-        mh_list = pa.ListArray.from_arrays(
-            pa.array(
-                np.arange(n + 1, dtype=np.int64) * num_perm, type=pa.int32()
-            ),
-            pa.array(mh.ravel(), type=pa.int64()),
-        )
-        cols = [ids, out_sh, mh_list, pa.array(sim, type=pa.int64())]
-        names = ["id", "shingle_hashes", "minhash", "simhash"]
+        if self.pack_minhash:
+            # fixed-width little-endian int64 runs, emitted as one
+            # binary per doc straight from the kernel: the checkpoint
+            # stores this without a second Python (pack-UDF) stage
+            data = mh.astype("<i8").tobytes()
+            mh_col = pa.BinaryArray.from_buffers(
+                pa.binary(),
+                n,
+                [
+                    None,
+                    pa.py_buffer(
+                        (
+                            np.arange(n + 1, dtype=np.int32) * (num_perm * 8)
+                        ).tobytes()
+                    ),
+                    pa.py_buffer(data),
+                ],
+            )
+            mh_name = "minhash_bin"
+        else:
+            mh_col = pa.ListArray.from_arrays(
+                pa.array(
+                    np.arange(n + 1, dtype=np.int64) * num_perm,
+                    type=pa.int32(),
+                ),
+                pa.array(mh.ravel(), type=pa.int64()),
+            )
+            mh_name = "minhash"
+        cols = [ids, mh_col, pa.array(sim, type=pa.int64())]
+        names = ["id", mh_name, "simhash"]
+        if self.emit_shingles:
+            cols.insert(1, out_sh)
+            names.insert(1, "shingle_hashes")
         if self.n_bands:
             n_bands, rows_per_band = self.n_bands, self.rows_per_band
             mh_u = mh.view(np.uint64)  # values < 2^63: same bits
@@ -610,6 +654,8 @@ def text_to_signatures(
     text_col: str = "text",
     n_bands: int | None = None,
     shingles_only: bool = False,
+    emit_shingles: bool = True,
+    pack_minhash: bool = False,
 ) -> DataFrame:
     """(id, shingle_hashes, minhash, simhash[, bands]) straight from raw
     text — tokenization included in the Arrow kernel.
@@ -623,7 +669,9 @@ def text_to_signatures(
     lowercases ASCII in one vectorized pass and finds token runs with
     boolean-mask shifts.
     """
-    siggen = _SignatureGen(k, num_perm, seed, n_bands, shingles_only)
+    siggen = _SignatureGen(
+        k, num_perm, seed, n_bands, shingles_only, emit_shingles, pack_minhash
+    )
 
     def _batches(it):
         import pyarrow as pa
@@ -675,7 +723,9 @@ def text_to_signatures(
             d_start = np.searchsorted(tok_starts, bounds, side="left")
             yield siggen.batch_from_token_hashes(ids, z, d_start)
 
-    schema = _sig_schema(docs, id_col, n_bands, shingles_only)
+    schema = _sig_schema(
+        docs, id_col, n_bands, shingles_only, emit_shingles, pack_minhash
+    )
     return docs.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
     ).mapInArrow(_batches, schema)
@@ -1056,6 +1106,131 @@ def substring_fingerprint_pairs(
     )
 
 
+_XX64_M = np.uint64(0xFFFFFFFFFFFFFFFF)
+_XX64_P = tuple(
+    np.uint64(p)
+    for p in (
+        0x9E3779B185EBCA87,
+        0xC2B2AE3D27D4EB4F,
+        0x165667B19E3779F9,
+        0x85EBCA77C2B2AE63,
+        0x27D4EB2F165667C5,
+    )
+)
+
+
+def _xx_rotl_np(x: np.ndarray, r: int) -> np.ndarray:
+    r = np.uint64(r)
+    return (x << r) | (x >> (np.uint64(64) - r))
+
+
+def _xxh64_grams(buf: np.ndarray, k: int, seed: int = 42) -> np.ndarray:
+    """Vectorized XXH64 (seed 42 — Spark's ``xxhash64``) over ALL k-byte
+    windows of an ASCII byte buffer at once: one uint64 lane per gram
+    start, the short-path chunk schedule (8-byte words, 4-byte word,
+    tail bytes, avalanche) unrolled over the fixed k. Bit-exact vs
+    Spark/reference XXH64 (pinned by tests); requires k < 32."""
+    P1, P2, P3, P4, P5 = _XX64_P
+    n = buf.size - k + 1
+    idx = np.arange(n, dtype=np.int64)
+    b = buf.astype(np.uint64)
+
+    def le_word(off: int, nbytes: int) -> np.ndarray:
+        w = np.zeros(n, dtype=np.uint64)
+        for j in range(nbytes):
+            w |= b[idx + off + j] << np.uint64(8 * j)
+        return w
+
+    h = np.full(n, np.uint64(seed) + P5 + np.uint64(k), dtype=np.uint64)
+    i = 0
+    while i + 8 <= k:
+        kk = _xx_rotl_np(le_word(i, 8) * P2, 31) * P1
+        h ^= kk
+        h = _xx_rotl_np(h, 27) * P1 + P4
+        i += 8
+    if i + 4 <= k:
+        h ^= le_word(i, 4) * P1
+        h = _xx_rotl_np(h, 23) * P2 + P3
+        i += 4
+    while i < k:
+        h ^= b[idx + i] * P5
+        h = _xx_rotl_np(h, 11) * P1
+        i += 1
+    h ^= h >> np.uint64(33)
+    h *= P2
+    h ^= h >> np.uint64(29)
+    h *= P3
+    h ^= h >> np.uint64(32)
+    return h
+
+
+def _xxh64_py(data: bytes, seed: int = 42) -> int:
+    """Scalar XXH64 (any length) — the non-ASCII fallback where grams
+    are CHARACTER slices whose utf8 encodings vary in byte length."""
+    P1, P2, P3, P4, P5 = (int(p) for p in _XX64_P)
+    M = (1 << 64) - 1
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) & M
+
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v = [
+            (seed + P1 + P2) & M,
+            (seed + P2) & M,
+            seed & M,
+            (seed - P1) & M,
+        ]
+        while i <= n - 32:
+            for j in range(4):
+                kk = int.from_bytes(data[i + 8 * j : i + 8 * j + 8], "little")
+                v[j] = (rotl((v[j] + kk * P2) & M, 31) * P1) & M
+            i += 32
+        h = (rotl(v[0], 1) + rotl(v[1], 7) + rotl(v[2], 12) + rotl(v[3], 18)) & M
+        for j in range(4):
+            kk = rotl((v[j] * P2) & M, 31) * P1 & M
+            h = ((h ^ kk) * P1 + P4) & M
+    else:
+        h = (seed + P5) & M
+    h = (h + n) & M
+    while i + 8 <= n:
+        kk = rotl((int.from_bytes(data[i : i + 8], "little") * P2) & M, 31) * P1 & M
+        h = (rotl(h ^ kk, 27) * P1 + P4) & M
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * P1) & M
+        h = (rotl(h, 23) * P2 + P3) & M
+        i += 4
+    while i < n:
+        h ^= (data[i] * P5) & M
+        h = (rotl(h, 11) * P1) & M
+        i += 1
+    h ^= h >> 33
+    h = (h * P2) & M
+    h ^= h >> 29
+    h = (h * P3) & M
+    h ^= h >> 32
+    return h
+
+
+def _winnow_select(h_u64: np.ndarray, window: int):
+    """(pos0, fingerprint) distinct winnowing selections over a gram-
+    hash array: per-window minimum under SIGNED int64 order (matching
+    Catalyst's ``min`` over ``xxhash64`` longs), rightmost tie."""
+    h = h_u64.view(np.int64)
+    n = h.size
+    if n < window:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    rev = sliding_window_view(h, window)[:, ::-1]
+    am = rev.argmin(axis=1)  # argmin of reversed window = first min from right
+    pos0 = np.arange(n - window + 1, dtype=np.int64) + (window - 1 - am)
+    sel = np.unique(np.stack([pos0, h[pos0]], axis=1), axis=0)
+    return sel[:, 0], sel[:, 1]
+
+
 def winnowing_fingerprints(
     docs: DataFrame,
     k: int = 8,
@@ -1063,6 +1238,7 @@ def winnowing_fingerprints(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_family: str = "xxhash64",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD'03 — the MOSS scheme): hash every char ``k``-gram, slide a
@@ -1087,7 +1263,18 @@ def winnowing_fingerprints(
     ``hash_family="md5"`` swaps the gram hash for a 60-bit md5 prefix
     that DuckDB computes identically — the oracle family; xxhash64 is
     the production default.
+
+    Strategies: the default (``auto``, xxhash64, k < 32) runs a
+    DOC-LOCAL Arrow kernel — vectorized XXH64 over every gram plus a
+    strided rolling-min — with NO explode and NO shuffle: the
+    relational formulation shuffles+sorts one row per character for
+    its window (petabytes at web scale), while the kernel's only plan
+    node is a mapInPandas over (id, text). ``strategy="relational"``
+    (and the md5 family, which exists for the DuckDB oracle) keeps the
+    Catalyst window formulation; equivalence is pinned by tests.
     """
+    if hash_family == "xxhash64" and strategy != "relational" and k < 32:
+        return _winnowing_kernel(docs, k, window, id_col, text_col)
     from pyspark.sql import Window as W
 
     d = docs.select(
@@ -1122,6 +1309,64 @@ def winnowing_fingerprints(
         (-F.col("wmin.np")).alias("pos"),
         F.col("wmin.h").alias("fingerprint"),
     ).distinct()
+
+
+def _winnowing_kernel(
+    docs: DataFrame, k: int, window: int, id_col: str, text_col: str
+) -> DataFrame:
+    min_len = k + window - 1
+
+    def run(batches):
+        for pdf in batches:
+            out_id, out_pos, out_fp = [], [], []
+            for rid, text in zip(pdf["id"], pdf["text"]):
+                if text is None or len(text) < min_len:
+                    continue
+                if text.isascii():
+                    buf = np.frombuffer(text.encode(), dtype=np.uint8)
+                    h = _xxh64_grams(buf, k)
+                else:
+                    # character grams: utf8 byte length varies per gram
+                    h = np.array(
+                        [
+                            _xxh64_py(text[i : i + k].encode())
+                            for i in range(len(text) - k + 1)
+                        ],
+                        dtype=np.uint64,
+                    )
+                pos0, fp = _winnow_select(h, window)
+                out_id.append(np.full(pos0.size, rid))
+                out_pos.append(pos0 + 1)  # 1-based, as substring positions
+                out_fp.append(fp)
+            if out_id:
+                yield pd.DataFrame(
+                    {
+                        "id": np.concatenate(out_id),
+                        "pos": np.concatenate(out_pos).astype(np.int32),
+                        "fingerprint": np.concatenate(out_fp),
+                    }
+                )
+            else:
+                yield pd.DataFrame(
+                    {
+                        "id": pd.Series([], dtype=object),
+                        "pos": pd.Series([], dtype=np.int32),
+                        "fingerprint": pd.Series([], dtype=np.int64),
+                    }
+                )
+
+    id_type = (
+        docs.select(F.col(id_col).alias("id")).schema[0].dataType.simpleString()
+    )
+    src_rel = docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
+    para = docs.sparkSession.sparkContext.defaultParallelism
+    if src_rel.rdd.getNumPartitions() < para:
+        src_rel = src_rel.repartition(para * 2)
+    return src_rel.mapInPandas(
+        run, schema=f"id {id_type}, pos int, fingerprint long"
+    )
 
 
 def winnowing_candidate_pairs(

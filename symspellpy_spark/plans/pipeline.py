@@ -250,6 +250,18 @@ class DedupPipeline:
             tokens_to_signatures,
         )
 
+        # narrow persisted relation (default): shingle_hashes is the
+        # majority of signature bytes and its ONLY consumer is verify
+        # phase 2 (which re-derives it for estimate survivors), and
+        # neither the RDD localCheckpoint nor a parquet scan
+        # column-prunes what the checkpoint row carries for the
+        # banding/probing consumers. The kernel emits the packed-binary
+        # minhash and omits shingles directly — no second Python stage.
+        narrow_kw = (
+            {}
+            if self.config.checkpoint_shingles
+            else {"emit_shingles": False, "pack_minhash": True}
+        )
         if self.config.normalize_tokens and self.dictionary is not None:
             # dictionary-corrected tokens exist as a real relation
             sig = tokens_to_signatures(
@@ -258,6 +270,7 @@ class DedupPipeline:
                 num_perm=self.config.num_perm,
                 seed=self.config.minhash_seed,
                 n_bands=self.config.bands,
+                **narrow_kw,
             )
         else:
             # common path: tokenize inside the signature kernel — the
@@ -268,20 +281,7 @@ class DedupPipeline:
                 num_perm=self.config.num_perm,
                 seed=self.config.minhash_seed,
                 n_bands=self.config.bands,
-            )
-        if not self.config.checkpoint_shingles:
-            # narrow the persisted relation: shingle_hashes is the
-            # majority of signature bytes, its ONLY consumer is verify
-            # phase 2 (estimate survivors), and neither the RDD
-            # localCheckpoint nor a parquet scan column-prunes what the
-            # checkpoint row carries for the banding/probing consumers
-            from symspellpy_spark.operators.dedup import pack_hashes
-
-            sig = sig.select(
-                "id",
-                pack_hashes(F.col("minhash")).alias("minhash_bin"),
-                "simhash",
-                "bands",
+                **narrow_kw,
             )
         if self.checkpoint_dir is None:
             sig = sig.localCheckpoint(eager=False)

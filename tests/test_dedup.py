@@ -263,3 +263,38 @@ def test_winnowing_repetitive_doc_stays_linear(spark):
     assert {p for p, _ in by_doc[2]} == set(
         range(4, 100_000 - 8 + 2)
     ), "rightmost-tie rule violated on constant hashes"
+
+
+def test_winnowing_kernel_equals_relational(spark):
+    """The doc-local winnowing kernel (vectorized XXH64 + strided
+    rolling min) must produce EXACTLY the relational window
+    formulation's selections — including signed-hash ordering,
+    rightmost ties on repetitive text, and non-ASCII character grams
+    (where utf8 gram bytes vary in length)."""
+    import random
+
+    from symspellpy_spark.operators.dedup import winnowing_fingerprints
+
+    rng = random.Random(13)
+    al = "abcdefghij "
+    docs = [
+        (1, "".join(rng.choice(al) for _ in range(300))),
+        (2, "lorem " * 40),                      # heavy hash ties
+        (3, "héllo wörld ünïcode " * 12),        # non-ASCII chars
+        (4, "x" * 25),                            # constant
+        (5, "short"),                             # below k+window-1 -> empty
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for k, w in ((8, 4), (5, 9)):
+        fast = {
+            (r["id"], r["pos"], r["fingerprint"])
+            for r in winnowing_fingerprints(df, k=k, window=w).collect()
+        }
+        rel = {
+            (r["id"], r["pos"], r["fingerprint"])
+            for r in winnowing_fingerprints(
+                df, k=k, window=w, strategy="relational"
+            ).collect()
+        }
+        assert fast == rel, (k, w, len(fast), len(rel))
+        assert len(fast) > 0

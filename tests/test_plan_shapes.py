@@ -125,10 +125,12 @@ def test_fuzzy_segmentation_default_plan_is_join_free(spark):
 
 
 def test_winnowing_plans_no_join(spark):
-    """Rightmost-tie selection must be a window pass, not a
-    starts-onto-grams join: the join's equi-key (id, gram-hash)
-    degenerates toward O(L^2) rows on boilerplate-heavy documents
-    where one hash dominates."""
+    """Production winnowing must be the doc-local kernel: one
+    MapInPandas, no explode/shuffle/sort (the relational window
+    formulation shuffles one row per CHARACTER). The relational
+    strategy (kept for the md5 oracle family) must itself be a window
+    pass, not a starts-onto-grams join whose equi-key (id, gram-hash)
+    degenerates toward O(L^2) rows on boilerplate-heavy documents."""
     from symspellpy_spark.operators.dedup import winnowing_fingerprints
 
     docs = spark.createDataFrame(
@@ -136,4 +138,10 @@ def test_winnowing_plans_no_join(spark):
     )
     plan = _physical(winnowing_fingerprints(docs, k=8, window=4))
     assert "Join" not in plan, plan
-    assert "Window" in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert "Window" not in plan, plan
+    rel = _physical(
+        winnowing_fingerprints(docs, k=8, window=4, strategy="relational")
+    )
+    assert "Join" not in rel, rel
+    assert "Window" in rel, rel
