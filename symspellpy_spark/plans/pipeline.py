@@ -74,12 +74,14 @@ class DedupConfig:
     use_winnowing: bool = False
     winnow_k: int = 8
     winnow_window: int = 4
-    # False (default): the signatures checkpoint stores only
+    # False (default): a DISK signatures checkpoint stores only
     # (id, minhash packed as 1KB binary, simhash, bands) with zstd —
     # the fat shingle_hashes column (the majority of signature bytes)
     # is re-derived by a shingles-only kernel pass at verify phase 2,
     # where only estimate-surviving pairs ever read it. True restores
     # the legacy full-width checkpoint (pay bytes, skip the re-derive).
+    # In-memory runs (no checkpoint_dir) always keep the full row: RAM
+    # re-reads are nearly free, so re-deriving would only cost.
     checkpoint_shingles: bool = False
     checkpoint_codec: str = "zstd"
     normalize_tokens: bool = False
@@ -257,10 +259,18 @@ class DedupPipeline:
         # column-prunes what the checkpoint row carries for the
         # banding/probing consumers. The kernel emits the packed-binary
         # minhash and omits shingles directly — no second Python stage.
+        # narrowing applies to DISK checkpoints only: there the 2.5x
+        # bytes-per-doc saving is real (written + stored + re-read),
+        # while the in-memory localCheckpoint re-reads shingle arrays
+        # from executor RAM nearly for free — measured at 60k docs,
+        # re-deriving shingles at verify costs +8s of edges time and
+        # saves nothing on the in-memory signatures stage
+        narrow = (
+            self.checkpoint_dir is not None
+            and not self.config.checkpoint_shingles
+        )
         narrow_kw = (
-            {}
-            if self.config.checkpoint_shingles
-            else {"emit_shingles": False, "pack_minhash": True}
+            {"emit_shingles": False, "pack_minhash": True} if narrow else {}
         )
         if self.config.normalize_tokens and self.dictionary is not None:
             # dictionary-corrected tokens exist as a real relation
