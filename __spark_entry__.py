@@ -557,6 +557,24 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnowing_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION winnowing end-to-end: the doc-local Arrow kernel
+    (operators/dedup.py::_winnowing_kernel — vectorized XXH64 over
+    every gram, strided rolling-min under signed-int64 order, rightmost
+    ties) with the xxhash64 family, oracle-checked: the oracle computes
+    XXH64(seed 42) per length-8 gram via the SQL stage chain
+    (_xxh64_nested_sql), wraps to signed, and replays the window-min +
+    rightmost-tie selection."""
+    docs = _read(spark, sf_dir, "documents")
+    from symspellpy_spark.operators.dedup import winnowing_fingerprints
+
+    return winnowing_fingerprints(docs, k=8, window=4).select(
+        F.col("id").alias("doc_id"),
+        F.col("pos").cast("long").alias("pos"),
+        F.col("fingerprint"),
+    )
+
+
 def q_compound_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3 lookup_compound on a deterministic slice, oracle-checked.
 
@@ -929,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "simhash_md5_pairs": q_simhash_md5_pairs,
         "winnowing_fingerprints": q_winnowing_fingerprints,
+        "winnowing_xxhash": q_winnowing_xxhash,
         "compound_correct": q_compound_correct,
         "compound_noisy": q_compound_noisy,
         "word_segmentation": q_word_segmentation,
@@ -1219,6 +1238,47 @@ def _simhash_xxh_oracle() -> str:
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 8"""
 
 
+def _winnowing_xxh_oracle() -> str:
+    """winnowing_xxhash oracle: XXH64 per length-8 gram via the SQL
+    stage chain, signed wrap (the kernel orders candidates by SIGNED
+    int64, matching Catalyst), then the window-min + rightmost-tie
+    replay of the md5-family winnowing oracle."""
+    base = """SELECT doc_id, p, substr(text, p, 8) AS tokv
+        FROM (SELECT doc_id, text FROM documents WHERE length(text) >= 11),
+             unnest(range(1, length(text) - 6)) AS t(p)"""
+    hashed = _xxh64_nested_sql(base)
+    return f"""
+    WITH grams AS (
+        SELECT doc_id, p,
+               CAST(CASE WHEN xxh >= {1 << 63}
+                         THEN CAST(xxh AS HUGEINT) - {_M64}
+                         ELSE CAST(xxh AS HUGEINT) END AS BIGINT) AS h
+        FROM ({hashed})
+    ),
+    win AS (
+        SELECT doc_id, p, h,
+               min(h) OVER (
+                   PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+               ) AS wmin,
+               max(p) OVER (PARTITION BY doc_id) AS m
+        FROM grams
+    ),
+    starts AS (
+        SELECT doc_id, p AS s, wmin FROM win WHERE p <= m - 3
+    ),
+    chosen AS (
+        SELECT st.doc_id, st.s, st.wmin, max(g.p) AS pos
+        FROM starts st
+        JOIN grams g
+          ON g.doc_id = st.doc_id
+         AND g.p BETWEEN st.s AND st.s + 3
+         AND g.h = st.wmin
+        GROUP BY st.doc_id, st.s, st.wmin
+    )
+    SELECT DISTINCT doc_id, pos, wmin AS fingerprint FROM chosen"""
+
+
 def oracle_sql() -> dict[str, str]:
     lookup_base = (
         _ORACLE_VOCAB
@@ -1491,6 +1551,9 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT term, delete_key FROM lvl1
         UNION ALL SELECT term, '' FROM keep WHERE length(term) <= 1
     )""",
+        # Production winnowing kernel with the xxhash64 family (see
+        # q_winnowing_xxhash): XXH64 SQL stage chain per gram.
+        "winnowing_xxhash": _winnowing_xxh_oracle(),
         # Winnowing (see q_winnowing_fingerprints): same gram hashes,
         # window-min, rightmost tie, distinct selections.
         "winnowing_fingerprints": """

@@ -41,6 +41,13 @@ def main(argv=None) -> None:
     ap.add_argument("--num-perm", type=int, default=128)
     ap.add_argument("--shingle-k", type=int, default=5)
     ap.add_argument("--max-bucket-size", type=int, default=1000)
+    ap.add_argument(
+        "--use-winnowing",
+        action="store_true",
+        help="add the winnowing (MOSS) local-match sweep to candidate sources",
+    )
+    ap.add_argument("--winnow-k", type=int, default=8)
+    ap.add_argument("--winnow-window", type=int, default=4)
     ap.add_argument("--cores", default=None)
     args = ap.parse_args(argv)
 
@@ -60,6 +67,9 @@ def main(argv=None) -> None:
         num_perm=args.num_perm,
         shingle_k=args.shingle_k,
         max_bucket_size=args.max_bucket_size,
+        use_winnowing=args.use_winnowing,
+        winnow_k=args.winnow_k,
+        winnow_window=args.winnow_window,
     )
     pipe = DedupPipeline(spark, cfg, checkpoint_dir=args.checkpoint)
     t0 = time.perf_counter()
