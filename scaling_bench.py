@@ -42,7 +42,14 @@ BENCH_REPS = os.environ.get("BENCH_REPS", "3")
 def run(cpus: int) -> dict:
     env = dict(
         os.environ,
-        BENCH_ONLY="pipeline",
+        # default: full workloads per level (the per-workload efficiency
+        # decomposition needs them); SCALING_PIPELINE_ONLY=1 for a quick
+        # pipeline-only pass
+        **(
+            {"BENCH_ONLY": "pipeline"}
+            if os.environ.get("SCALING_PIPELINE_ONLY")
+            else {}
+        ),
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_SF_DIR=SF_DIR,
         BENCH_PIPELINE_DOCS=str(DOCS),
