@@ -1144,8 +1144,14 @@ def _xxh64_cols(tok: str = "tokv") -> list[str]:
     cols: list[str] = []
     add = lambda name, expr: cols.append(f"{expr} AS {name}")  # noqa: E731
     add("tl", f"length({tok})")
-    add("_g", "CASE WHEN tl > 15 THEN error('xxh64 oracle supports len<=15') ELSE 0 END")
-    add("h0", f"({42 + _XXP5}::UBIGINT + tl::UBIGINT)")
+    # the length guard must be LOAD-BEARING (an unused guard column is
+    # pruned by the optimizer and never evaluates): h0 consumes it
+    add(
+        "h0",
+        f"({42 + _XXP5}::UBIGINT + CASE WHEN tl > 15"
+        f" THEN error('xxh64 oracle supports len<=15')"
+        f" ELSE tl END::UBIGINT)",
+    )
     add("k8", f"CASE WHEN tl >= 8 THEN {_xx_le_bytes(tok, 1, 8)} ELSE 0::UBIGINT END")
     add("k8c", _xx_mul(_xx_rotl(_xx_mul("k8", P2), 31), P1))
     h1core = _xx_mul(_xx_rotl("xor(h0, k8c)", 27), P1)

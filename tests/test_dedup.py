@@ -298,3 +298,17 @@ def test_winnowing_kernel_equals_relational(spark):
         }
         assert fast == rel, (k, w, len(fast), len(rel))
         assert len(fast) > 0
+
+
+def test_pack_unpack_hashes_roundtrip(spark):
+    from symspellpy_spark.operators.dedup import pack_hashes, unpack_hashes
+
+    df = spark.createDataFrame(
+        [(1, [1, -5, 2**62, 0]), (2, []), (3, None)],
+        "id long, mh array<long>",
+    )
+    out = df.select(
+        "id", unpack_hashes(pack_hashes(F.col("mh"))).alias("back")
+    ).collect()
+    got = {r["id"]: r["back"] for r in out}
+    assert got == {1: [1, -5, 2**62, 0], 2: [], 3: None}
