@@ -590,42 +590,52 @@ def _segmentation_broadcast_fuzzy(
         state = _WORKER_LOOKUP_STATE.get(key)
         if state is None:
             words = bc.value
-            index: dict[str, list[str]] = {}
-            if d_ == 1:
-                # d=1 candidate generation uses FULL single deletes, not
-                # the prefix-truncated neighborhood: any OSA-distance-1
-                # pair shares a full single delete (deletion/insertion:
-                # the shorter IS a delete of the longer; substitution at
-                # i: delete i from both; adjacent transposition at i:
-                # delete i from one, i+1 from the other). Prefix buckets
-                # conflate every term sharing a 7-prefix regardless of
-                # tail — orders of magnitude more false candidates. Both
-                # generators are supersets of the true match set and the
-                # exact verify filters to it, so results are identical.
-                for t in words:
-                    index.setdefault(t, []).append(t)
-                    for i in range(len(t)):
-                        index.setdefault(t[:i] + t[i + 1 :], []).append(t)
-            else:
+            # FULL single-delete index (all d): any OSA-distance-1 pair
+            # shares a full single delete (deletion/insertion: the
+            # shorter IS a delete of the longer; substitution at i:
+            # delete i from both; adjacent transposition at i: delete i
+            # from one, i+1 from the other). Prefix buckets conflate
+            # every term sharing a 7-prefix regardless of tail — orders
+            # of magnitude more false candidates. Both generators are
+            # supersets of the true match set and the exact verify
+            # filters to it, so results are identical. At d>=2 this is
+            # the STAGED SHALLOW PASS: a TOP resolution with any
+            # distance<=1 match is fully decided by it (same argument
+            # as local_lookup.py / the relational staged read path),
+            # so the expensive deep-neighborhood kernel verify only
+            # runs for queries with no d<=1 match.
+            idx1: dict[str, list[str]] = {}
+            for t in words:
+                idx1.setdefault(t, []).append(t)
+                for i in range(len(t)):
+                    idx1.setdefault(t[:i] + t[i + 1 :], []).append(t)
+            deep: dict[str, list[str]] | None = None
+            if d_ >= 2:
+                deep = {}
                 for t in words:
                     for k in _delete_neighborhood_local(t, d_, p_):
-                        index.setdefault(k, []).append(t)
-            state = (words, index, {})
+                        deep.setdefault(k, []).append(t)
+            state = (words, idx1, deep, {})
             _WORKER_LOOKUP_STATE.clear()  # one dictionary per worker
             _WORKER_LOOKUP_STATE[key] = state
-        words, index, cache = state
+        words, idx1, deep, cache = state
         ign = re.compile(f"^(?:{ign_pat})") if ign_pat is not None else None
         ws = re.compile(r"\s")
+
+        def candidates_d1(q: str) -> list[str]:
+            lq = len(q)
+            cands: set[str] = set()
+            for k in [q] + [q[:i] + q[i + 1 :] for i in range(lq)]:
+                for t in idx1.get(k, ()):
+                    if abs(len(t) - lq) <= 1:
+                        cands.add(t)
+            return sorted(cands)
 
         def candidates_of(q: str) -> list[str]:
             lq = len(q)
             cands: set[str] = set()
-            if d_ == 1:
-                probes = [q] + [q[:i] + q[i + 1 :] for i in range(lq)]
-            else:
-                probes = _delete_neighborhood_local(q, d_, p_)
-            for k in probes:
-                for t in index.get(k, ()):
+            for k in _delete_neighborhood_local(q, d_, p_):
+                for t in deep.get(k, ()):
                     if abs(len(t) - lq) <= d_:
                         cands.add(t)
             return sorted(cands)
@@ -655,11 +665,13 @@ def _segmentation_broadcast_fuzzy(
             return s[i:] == l[i + 1 :]
 
         def resolve_fuzzy_d1(q: str):
-            """d=1 TOP without the DP kernel: q is OOV here, so every
+            """d<=1 TOP without the DP kernel: q is OOV here, so every
             match has distance exactly 1 and the TOP tie-break
             (distance ASC, count DESC, term ASC) reduces to: first
-            verified candidate in (count DESC, term ASC) order."""
-            cl = candidates_of(q)
+            verified candidate in (count DESC, term ASC) order. At
+            d>=2 a non-None result here IS the final TOP (any deep
+            match would carry distance >= 2)."""
+            cl = candidates_d1(q)
             if not cl:
                 return None
             cl.sort(key=lambda t: (-words[t], t))
@@ -689,8 +701,9 @@ def _segmentation_broadcast_fuzzy(
                 return (q, 0, 1)
             if len(q) - d_ > dict_max_len:
                 return None
-            if d_ == 1:
-                return resolve_fuzzy_d1(q)
+            r1 = resolve_fuzzy_d1(q)
+            if d_ == 1 or r1 is not None:
+                return r1
             cl = candidates_of(q)
             if not cl:
                 return None
@@ -736,8 +749,9 @@ def _segmentation_broadcast_fuzzy(
                 if len(q) - d_ > dict_max_len:
                     cache[q] = None
                     continue
-                if d_ == 1:
-                    cache[q] = resolve_fuzzy_d1(q)
+                r1 = resolve_fuzzy_d1(q)
+                if d_ == 1 or r1 is not None:
+                    cache[q] = r1
                     continue
                 cl = candidates_of(q)
                 if not cl:
