@@ -45,7 +45,9 @@ __all__ = [
     "simhash_signatures",
     "simhash_candidate_pairs",
     "substring_fingerprint_pairs",
+    "substring_pairs_from_grams",
     "exact_duplicates",
+    "exact_duplicates_from_hash",
     "jaccard_verify",
     "select_matches",
 ]
@@ -453,6 +455,8 @@ def _sig_schema(
     shingles_only: bool = False,
     emit_shingles: bool = True,
     pack_minhash: bool = False,
+    substring: bool = False,
+    text_hash: bool = False,
 ) -> str:
     id_type = df.select(F.col(id_col).alias("id")).schema[0].dataType.simpleString()
     if shingles_only:
@@ -466,6 +470,10 @@ def _sig_schema(
     schema += ", simhash bigint"
     if n_bands:
         schema += ", bands array<bigint>"
+    if substring:
+        schema += ", sub_grams array<bigint>"
+    if text_hash:
+        schema += ", text_hash bigint"
     return schema
 
 
@@ -504,9 +512,14 @@ class _SignatureGen:
                 + 1
             )
 
-    def batch_from_token_hashes(self, ids, z: np.ndarray, d_start: np.ndarray):
+    def batch_from_token_hashes(
+        self, ids, z: np.ndarray, d_start: np.ndarray, extras=None
+    ):
         """ids: arrow array (n); z: uint64 token hashes (flat); d_start:
-        int64 (n+1) per-doc offsets into z."""
+        int64 (n+1) per-doc offsets into z; extras: optional
+        [(name, pa.Array)] appended after the signature columns (the
+        fused substring/text-hash columns) — ignored in shingles_only
+        mode."""
         import pyarrow as pa
 
         k, num_perm = self.k, self.num_perm
@@ -627,6 +640,9 @@ class _SignatureGen:
                 )
             )
             names.append("bands")
+        for ex_name, ex_col in extras or ():
+            cols.append(ex_col)
+            names.append(ex_name)
         return pa.RecordBatch.from_arrays(cols, names=names)
 
 
@@ -656,6 +672,9 @@ def text_to_signatures(
     shingles_only: bool = False,
     emit_shingles: bool = True,
     pack_minhash: bool = False,
+    substring_gram_len: int | None = None,
+    substring_sample_mod: int = 16,
+    emit_text_hash: bool = False,
 ) -> DataFrame:
     """(id, shingle_hashes, minhash, simhash[, bands]) straight from raw
     text — tokenization included in the Arrow kernel.
@@ -668,13 +687,59 @@ def text_to_signatures(
     serialization — the kernel reads the utf8 data buffer zero-copy,
     lowercases ASCII in one vectorized pass and finds token runs with
     boolean-mask shifts.
+
+    Fused candidate-source columns (so the pipeline's candidate
+    generation never re-scans text):
+
+    - ``substring_gram_len`` adds ``sub_grams array<bigint>`` — the
+      content-defined sampled substring gram hashes of
+      :func:`substring_fingerprint_pairs`, computed over the RAW utf8
+      bytes in the same pass. Identical hash values on pure-ASCII text
+      (byte == codepoint); non-ASCII docs differ only in that grams are
+      gram_len BYTES rather than chars — a resolution change, not a
+      correctness one (both sides of any bucket join use the same
+      function).
+    - ``emit_text_hash`` adds ``text_hash bigint`` — a 64-bit full-text
+      polynomial content hash for exact-duplicate grouping
+      (:func:`exact_duplicates_from_hash`).
     """
     siggen = _SignatureGen(
         k, num_perm, seed, n_bands, shingles_only, emit_shingles, pack_minhash
     )
+    want_extras = (substring_gram_len or emit_text_hash) and not shingles_only
+    hasher = (
+        _ContentHasher(substring_gram_len or 40, substring_sample_mod)
+        if want_extras
+        else None
+    )
 
     def _batches(it):
         import pyarrow as pa
+
+        def extras_of(raw: np.ndarray, bounds: np.ndarray):
+            # bounds: int64 (n+1) per-doc byte offsets into raw
+            if hasher is None:
+                return None
+            blens = bounds[1:] - bounds[:-1]
+            T = hasher.prefix(raw)
+            ex = []
+            if substring_gram_len:
+                offs, gvals = hasher.sampled_per_doc(T, bounds[:-1], blens)
+                ex.append(
+                    (
+                        "sub_grams",
+                        pa.ListArray.from_arrays(
+                            pa.array(offs, type=pa.int32()),
+                            pa.array(gvals, type=pa.int64()),
+                        ),
+                    )
+                )
+            if emit_text_hash:
+                th = hasher.doc_hashes(T, bounds[:-1], blens)
+                ex.append(
+                    ("text_hash", pa.array(th.astype(np.int64), type=pa.int64()))
+                )
+            return ex
 
         for rb in it:
             n = rb.num_rows
@@ -694,6 +759,10 @@ def text_to_signatures(
                     ids,
                     np.empty(0, dtype=np.uint64),
                     np.zeros(n + 1, dtype=np.int64),
+                    extras=extras_of(
+                        np.empty(0, dtype=np.uint8),
+                        np.zeros(n + 1, dtype=np.int64),
+                    ),
                 )
                 continue
             buf = data[b0:b1].copy()
@@ -721,10 +790,19 @@ def text_to_signatures(
             z = _fmix64(z)
             # per-doc token offsets
             d_start = np.searchsorted(tok_starts, bounds, side="left")
-            yield siggen.batch_from_token_hashes(ids, z, d_start)
+            yield siggen.batch_from_token_hashes(
+                ids, z, d_start, extras=extras_of(data[b0:b1], bounds)
+            )
 
     schema = _sig_schema(
-        docs, id_col, n_bands, shingles_only, emit_shingles, pack_minhash
+        docs,
+        id_col,
+        n_bands,
+        shingles_only,
+        emit_shingles,
+        pack_minhash,
+        substring=bool(substring_gram_len) and not shingles_only,
+        text_hash=emit_text_hash and not shingles_only,
     )
     return docs.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
@@ -984,6 +1062,144 @@ def simhash_candidate_pairs(
     )
 
 
+def _pow_u64(base: int, exp: np.ndarray) -> np.ndarray:
+    """base**exp mod 2^64, vectorized square-and-multiply over int64/uint64
+    exponents (array multiplies wrap silently; the running square is kept
+    as a Python int to avoid numpy's scalar-overflow warning)."""
+    out = np.ones(exp.size, dtype=np.uint64)
+    e = exp.astype(np.uint64)
+    b = base & 0xFFFFFFFFFFFFFFFF
+    mx = int(e.max()) if e.size else 0
+    for bit in range(mx.bit_length()):
+        sel = ((e >> np.uint64(bit)) & np.uint64(1)).astype(bool)
+        out[sel] *= np.uint64(b)
+        b = (b * b) & 0xFFFFFFFFFFFFFFFF
+    return out
+
+
+class _ContentHasher:
+    """Content-defined gram sampling + whole-doc content hashing over a
+    flat code array: uint32 codepoints in :func:`substring_fingerprint_pairs`
+    (char-oriented grams) or the raw utf8 uint8 buffer in the fused
+    signature kernel (byte-oriented grams — identical hash VALUES on
+    pure-ASCII text, where byte == codepoint).
+
+    prefix-product machinery: h_p = sum_j c[p+j]*base^(L-1-j)  (mod 2^64)
+                                  = base^(L-1+p) * (T[p+L] - T[p])
+    with T[k] = sum_{i<k} c[i]*inv^i and inv = base^-1 mod 2^64 (base is
+    odd, so invertible). One cumsum + O(1) work per window replaces the
+    L strided multiply-add passes of the naive kernel — ~30x less
+    memory traffic, which is what decides multi-core scaling here.
+    """
+
+    PBLK = 1 << 20
+    # FNV-prime multiplier (odd -> good mixing mod 2^64)
+    BASE = 1099511628211
+
+    def __init__(self, gram_len: int, sample_mod: int, base: int = BASE):
+        self.gram_len = gram_len
+        self.mod = np.uint64(sample_mod)
+        self.base = base
+        PBLK = self.PBLK
+        inv = pow(base, -1, 1 << 64)
+        self._pow_tab = np.empty(PBLK, dtype=np.uint64)
+        self._inv_tab = np.empty(PBLK, dtype=np.uint64)
+        self._pow_tab[0] = 1
+        self._inv_tab[0] = 1
+        np.multiply.accumulate(
+            np.full(PBLK - 1, base, dtype=np.uint64), out=self._pow_tab[1:]
+        )
+        np.multiply.accumulate(
+            np.full(PBLK - 1, np.uint64(inv), dtype=np.uint64),
+            out=self._inv_tab[1:],
+        )
+        self.pow_blk = np.uint64(pow(base, PBLK, 1 << 64))
+        self.inv_blk = np.uint64(pow(inv, PBLK, 1 << 64))
+        self.base_lm1 = np.uint64(pow(base, gram_len - 1, 1 << 64))
+
+    def prefix(self, flat: np.ndarray) -> np.ndarray:
+        """T[k] = sum_{i<k} c[i]*inv^i (mod 2^64), built blockwise so the
+        inv^i table stays cache-resident."""
+        total = flat.size
+        T = np.empty(total + 1, dtype=np.uint64)
+        T[0] = 0
+        scale = np.uint64(1)
+        for w0 in range(0, total, self.PBLK):
+            w1 = min(w0 + self.PBLK, total)
+            T[w0 + 1 : w1 + 1] = flat[w0:w1].astype(np.uint64) * (
+                self._inv_tab[: w1 - w0] * scale
+            )
+            # scalar uint64 overflow warns in numpy; wrap via Python ints
+            scale = np.uint64(
+                (int(scale) * int(self.inv_blk)) & 0xFFFFFFFFFFFFFFFF
+            )
+        np.cumsum(T, out=T)
+        return T
+
+    def sampled_per_doc(
+        self, T: np.ndarray, starts: np.ndarray, lens: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(offsets int64[n+1], values int64) — per-doc sorted-unique
+        sampled gram hashes (``hash % sample_mod == 0``); windows that
+        cross a doc boundary are masked out, so docs shorter than
+        gram_len contribute nothing."""
+        n_docs = starts.size
+        L = self.gram_len
+        n_win = T.size - 1 - L + 1
+        offs = np.zeros(n_docs + 1, dtype=np.int64)
+        if n_win <= 0:
+            return offs, np.empty(0, dtype=np.int64)
+        pos_parts, val_parts = [], []
+        scale = self.base_lm1
+        for w0 in range(0, n_win, self.PBLK):
+            w1 = min(w0 + self.PBLK, n_win)
+            hb = (self._pow_tab[: w1 - w0] * scale) * (
+                T[w0 + L : w1 + L] - T[w0:w1]
+            )
+            scale = np.uint64(
+                (int(scale) * int(self.pow_blk)) & 0xFFFFFFFFFFFFFFFF
+            )
+            sel = np.flatnonzero(hb % self.mod == 0)
+            if sel.size:
+                pos_parts.append(sel + w0)
+                val_parts.append(hb[sel])
+        if not pos_parts:
+            return offs, np.empty(0, dtype=np.int64)
+        pos = np.concatenate(pos_parts)
+        vals_u = np.concatenate(val_parts)
+        # a window at global position p belongs to doc i iff it lies
+        # fully inside [starts[i], starts[i]+lens[i]-gram_len]
+        doc_idx = np.searchsorted(starts, pos, side="right") - 1
+        valid = pos <= starts[doc_idx] + lens[doc_idx] - L
+        doc_idx = doc_idx[valid]
+        vals = vals_u[valid].astype(np.int64)
+        # per-doc sort + dedup (set semantics, like the shingle sets)
+        order = np.lexsort((vals, doc_idx))
+        doc_idx = doc_idx[order]
+        vals = vals[order]
+        if vals.size:
+            keep = np.empty(vals.size, dtype=bool)
+            keep[0] = True
+            np.not_equal(vals[1:], vals[:-1], out=keep[1:])
+            keep[1:] |= doc_idx[1:] != doc_idx[:-1]
+            doc_idx = doc_idx[keep]
+            vals = vals[keep]
+        np.cumsum(np.bincount(doc_idx, minlength=n_docs), out=offs[1:])
+        return offs, vals
+
+    def doc_hashes(
+        self, T: np.ndarray, starts: np.ndarray, lens: np.ndarray
+    ) -> np.ndarray:
+        """Per-doc 64-bit full-content polynomial hash (uint64):
+        fmix64(base^(e-1)*(T[e]-T[s]) ^ (len<<1)) — position-independent
+        (equal content hashes equal regardless of batch offset);
+        zero-length docs hash to fmix64(0)."""
+        e = starts + lens
+        raw = _pow_u64(self.base, np.maximum(e - 1, 0)) * (T[e] - T[starts])
+        raw[lens == 0] = 0
+        return _fmix64(raw ^ (lens.astype(np.uint64) << np.uint64(1)))
+
+
 def substring_fingerprint_pairs(
     docs: DataFrame,
     id_col: str = "url",
@@ -996,43 +1212,27 @@ def substring_fingerprint_pairs(
 
     Content-defined sampling (position-independent, unlike strided
     sampling): every char gram_len-gram is hashed with a polynomial
-    window hash (computed for ALL positions at once via a numpy
-    sliding-window matmul in uint64 mod-2^64 arithmetic), and only
-    grams with ``hash % sample_mod == 0`` are kept. Identical
-    substrings sample identical grams regardless of their offset, so a
-    common substring of m chars collides with
+    window hash (computed for ALL positions at once via the
+    :class:`_ContentHasher` prefix-product identity in uint64 mod-2^64
+    arithmetic), and only grams with ``hash % sample_mod == 0`` are
+    kept. Identical substrings sample identical grams regardless of
+    their offset, so a common substring of m chars collides with
     P ≈ 1 - (1-1/s)^(m-gram_len). Only the ~1/sample_mod sampled gram
     hashes cross the Arrow boundary and reach the shuffle.
+
+    This standalone operator re-scans the text relation; inside
+    :class:`~symspellpy_spark.plans.pipeline.DedupPipeline` the same
+    sampling runs fused into the signature kernel
+    (``text_to_signatures(substring_gram_len=...)``) so candidate
+    generation needs no second text scan — see
+    :func:`substring_pairs_from_grams`.
     """
-    base = 1099511628211  # FNV-prime multiplier (odd -> good mixing mod 2^64)
-    mod = np.uint64(sample_mod)
-    # prefix-product machinery: h_p = sum_j c[p+j]*base^(L-1-j)  (mod 2^64)
-    #                               = base^(L-1+p) * (T[p+L] - T[p])
-    # with T[k] = sum_{i<k} c[i]*inv^i and inv = base^-1 mod 2^64 (base is
-    # odd, so invertible). One cumsum + O(1) work per window replaces the
-    # L strided multiply-add passes of the naive kernel — ~30x less
-    # memory traffic, which is what decides multi-core scaling here.
-    PBLK = 1 << 20
-    inv = pow(base, -1, 1 << 64)
-    _pow_tab = np.empty(PBLK, dtype=np.uint64)
-    _inv_tab = np.empty(PBLK, dtype=np.uint64)
-    _pow_tab[0] = 1
-    _inv_tab[0] = 1
-    np.multiply.accumulate(
-        np.full(PBLK - 1, base, dtype=np.uint64), out=_pow_tab[1:]
-    )
-    np.multiply.accumulate(
-        np.full(PBLK - 1, np.uint64(inv), dtype=np.uint64), out=_inv_tab[1:]
-    )
-    pow_blk = np.uint64(pow(base, PBLK, 1 << 64))
-    inv_blk = np.uint64(pow(inv, PBLK, 1 << 64))
-    base_lm1 = np.uint64(pow(base, gram_len - 1, 1 << 64))
+    hasher = _ContentHasher(gram_len, sample_mod)
 
     @F.pandas_udf(ArrayType(LongType()))
     def sampled_grams(texts: pd.Series) -> pd.Series:
         # whole-batch: concatenate all docs' char codes, compute every
-        # window hash via the prefix-sum identity above (hash values are
-        # identical to the direct polynomial), mask out windows that
+        # window hash via the prefix-sum identity, mask out windows that
         # cross document boundaries, then scatter sampled hashes back to
         # their documents via searchsorted.
         n_docs = len(texts)
@@ -1050,49 +1250,11 @@ def substring_fingerprint_pairs(
         flat = np.concatenate(codes_list)  # uint32; upcast per block only
         starts = np.zeros(n_docs, dtype=np.int64)
         np.cumsum(lens[:-1], out=starts[1:])
-        n_win = total - gram_len + 1
-        # T[k] = sum_{i<k} c[i]*inv^i (mod 2^64), built blockwise so the
-        # inv^i table stays cache-resident
-        T = np.empty(total + 1, dtype=np.uint64)
-        T[0] = 0
-        scale = np.uint64(1)
-        for w0 in range(0, total, PBLK):
-            w1 = min(w0 + PBLK, total)
-            T[w0 + 1 : w1 + 1] = (
-                flat[w0:w1].astype(np.uint64) * (_inv_tab[: w1 - w0] * scale)
-            )
-            # scalar uint64 overflow warns in numpy; wrap via Python ints
-            scale = np.uint64((int(scale) * int(inv_blk)) & 0xFFFFFFFFFFFFFFFF)
-        np.cumsum(T, out=T)
-        pos_parts, val_parts = [], []
-        scale = base_lm1
-        for w0 in range(0, n_win, PBLK):
-            w1 = min(w0 + PBLK, n_win)
-            hb = (_pow_tab[: w1 - w0] * scale) * (
-                T[w0 + gram_len : w1 + gram_len] - T[w0:w1]
-            )
-            scale = np.uint64((int(scale) * int(pow_blk)) & 0xFFFFFFFFFFFFFFFF)
-            sel = np.flatnonzero(hb % mod == 0)
-            if sel.size:
-                pos_parts.append(sel + w0)
-                val_parts.append(hb[sel])
-        if not pos_parts:
-            return pd.Series([[] for _ in range(n_docs)], index=texts.index)
-        pos = np.concatenate(pos_parts)
-        vals_u = np.concatenate(val_parts)
-        # a window at global position p belongs to doc i iff it lies
-        # fully inside [starts[i], starts[i]+lens[i]-gram_len]
-        doc_idx = np.searchsorted(starts, pos, side="right") - 1
-        valid = pos <= starts[doc_idx] + lens[doc_idx] - gram_len
-        doc_idx = doc_idx[valid]
-        vals = vals_u[valid].astype(np.int64)
-        out = [[] for _ in range(n_docs)]
-        bounds = np.searchsorted(doc_idx, np.arange(n_docs + 1))
-        for i in range(n_docs):
-            seg = vals[bounds[i] : bounds[i + 1]]
-            if len(seg):
-                out[i] = np.unique(seg).tolist()
-        return pd.Series(out, index=texts.index)
+        offs, vals = hasher.sampled_per_doc(hasher.prefix(flat), starts, lens)
+        return pd.Series(
+            [vals[offs[i] : offs[i + 1]].tolist() for i in range(n_docs)],
+            index=texts.index,
+        )
 
     grams = (
         docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
@@ -1103,6 +1265,53 @@ def substring_fingerprint_pairs(
         _bucket_pairs(grams, ["g"], "id", max_bucket_size)
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("shared_grams"))
+    )
+
+
+def substring_pairs_from_grams(
+    sig: DataFrame,
+    grams_col: str = "sub_grams",
+    id_col: str = "id",
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """(id_a, id_b, shared_grams) from precomputed sampled gram hashes
+    (``text_to_signatures(substring_gram_len=...)``): the substring
+    candidate source of :func:`substring_fingerprint_pairs` without a
+    second text scan or Python stage — explode + capped bucket join
+    only. Docs shorter than gram_len carry an empty list and drop out
+    at the explode, mirroring the standalone operator's length filter.
+    """
+    grams = sig.select(
+        F.col(id_col).alias("id"), F.explode(F.col(grams_col)).alias("g")
+    )
+    return (
+        _bucket_pairs(grams, ["g"], "id", max_bucket_size)
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared_grams"))
+    )
+
+
+def exact_duplicates_from_hash(
+    sig: DataFrame, hash_col: str = "text_hash", id_col: str = "id"
+) -> DataFrame:
+    """(id, group_id, n_dups) from the signature kernel's 64-bit
+    full-text content hash (``text_to_signatures(emit_text_hash=True)``)
+    — :func:`exact_duplicates` without a second text scan.
+
+    64-bit polynomial hash vs md5: expected colliding PAIRS corpus-wide
+    are ~n^2/2^65 (≈0.03 at 10^12 docs) — the same class of accepted
+    tradeoff as the pipeline's xxhash64(url) internal ids. One semantic
+    difference vs md5 grouping: null text and empty text share one
+    group here (both hash the empty byte string), where md5(NULL)
+    groups null docs separately from ''-docs.
+    """
+    h = sig.select(F.col(id_col).alias("id"), F.col(hash_col).alias("_th"))
+    groups = h.groupBy("_th").agg(
+        F.min("id").alias("group_id"), F.count("*").alias("n_dups")
+    )
+    return (
+        h.join(groups.where(F.col("n_dups") > 1), "_th")
+        .select("id", "group_id", "n_dups")
     )
 
 

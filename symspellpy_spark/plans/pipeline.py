@@ -30,6 +30,7 @@ from symspellpy_spark.config import EngineConfig, Verbosity
 from symspellpy_spark.operators.cluster import connected_components
 from symspellpy_spark.operators.dedup import (
     exact_duplicates,
+    exact_duplicates_from_hash,
     jaccard_verify,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -38,6 +39,7 @@ from symspellpy_spark.operators.dedup import (
     simhash_candidate_pairs,
     simhash_signatures,
     substring_fingerprint_pairs,
+    substring_pairs_from_grams,
     winnowing_candidate_pairs,
 )
 from symspellpy_spark.operators.dictionary import SparkDictionary
@@ -84,6 +86,16 @@ class DedupConfig:
     # re-reads are nearly free, so re-deriving would only cost.
     checkpoint_shingles: bool = False
     checkpoint_codec: str = "zstd"
+    # True (default): the signature kernel also emits the substring
+    # sample grams (sub_grams) and a 64-bit full-text content hash
+    # (text_hash), and candidate generation derives the substring +
+    # exact sources from the signatures relation instead of re-scanning
+    # text. The batch path then reads corpus text exactly ONCE (the
+    # signature pass; narrow-checkpoint runs add the survivors-only
+    # shingle re-derive at verify, and winnowing — if enabled — its own
+    # kernel pass). Only the common text_to_signatures path fuses; the
+    # normalize_tokens path keeps the legacy per-source scans.
+    fuse_candidates: bool = True
     normalize_tokens: bool = False
     normalize_min_count: int = 0  # only correct tokens rarer than this
     engine: EngineConfig = field(default_factory=EngineConfig)
@@ -285,6 +297,15 @@ class DedupPipeline:
         else:
             # common path: tokenize inside the signature kernel — the
             # token-string relation (10-100x the text bytes) never exists
+            fuse_kw = (
+                {
+                    "substring_gram_len": self.config.substring_gram_len,
+                    "substring_sample_mod": self.config.substring_sample_mod,
+                    "emit_text_hash": True,
+                }
+                if self.config.fuse_candidates
+                else {}
+            )
             sig = text_to_signatures(
                 self._pages64(pages),
                 k=self.config.shingle_k,
@@ -292,6 +313,7 @@ class DedupPipeline:
                 seed=self.config.minhash_seed,
                 n_bands=self.config.bands,
                 **narrow_kw,
+                **fuse_kw,
             )
         if self.checkpoint_dir is None:
             sig = sig.localCheckpoint(eager=False)
@@ -311,6 +333,8 @@ class DedupPipeline:
             unpack_hashes(F.col("minhash_bin")).alias("minhash"),
             "simhash",
             "bands",
+            # fused candidate-source columns ride along when present
+            *[c for c in ("sub_grams", "text_hash") if c in sig.columns],
         )
 
     def _signatures_narrow(self, pages: DataFrame) -> DataFrame:
@@ -329,6 +353,7 @@ class DedupPipeline:
 
     def candidate_pairs(self, pages: DataFrame) -> DataFrame:
         c = self.config
+        sig = self.signatures(pages)
         narrow = self._signatures_narrow(pages)
         pages64 = self._pages64(pages)
         lsh = lsh_candidate_pairs(
@@ -343,22 +368,40 @@ class DedupPipeline:
             max_hamming=c.simhash_max_hamming,
             max_bucket_size=c.max_bucket_size,
         ).select("id_a", "id_b", F.lit("simhash").alias("source"))
-        sub = substring_fingerprint_pairs(
-            pages64,
-            id_col="id",
-            gram_len=c.substring_gram_len,
-            sample_mod=c.substring_sample_mod,
-            max_bucket_size=c.max_bucket_size,
-        ).select("id_a", "id_b", F.lit("substring").alias("source"))
-        exact = (
-            exact_duplicates(pages64, id_col="id")
-            .where(F.col("id") != F.col("group_id"))
-            .select(
-                F.col("group_id").alias("id_a"),
-                F.col("id").alias("id_b"),
-                F.lit("exact").alias("source"),
+        if "sub_grams" in sig.columns:
+            # fused sources: substring grams + text hash were computed
+            # inside the signature pass — no second text scan, no
+            # second Python stage, and a signatures-checkpoint resume
+            # regenerates candidates without touching the pages table
+            sub = substring_pairs_from_grams(
+                sig, max_bucket_size=c.max_bucket_size
+            ).select("id_a", "id_b", F.lit("substring").alias("source"))
+            exact = (
+                exact_duplicates_from_hash(sig)
+                .where(F.col("id") != F.col("group_id"))
+                .select(
+                    F.col("group_id").alias("id_a"),
+                    F.col("id").alias("id_b"),
+                    F.lit("exact").alias("source"),
+                )
             )
-        )
+        else:
+            sub = substring_fingerprint_pairs(
+                pages64,
+                id_col="id",
+                gram_len=c.substring_gram_len,
+                sample_mod=c.substring_sample_mod,
+                max_bucket_size=c.max_bucket_size,
+            ).select("id_a", "id_b", F.lit("substring").alias("source"))
+            exact = (
+                exact_duplicates(pages64, id_col="id")
+                .where(F.col("id") != F.col("group_id"))
+                .select(
+                    F.col("group_id").alias("id_a"),
+                    F.col("id").alias("id_b"),
+                    F.lit("exact").alias("source"),
+                )
+            )
         pairs = lsh.unionByName(sim).unionByName(sub).unionByName(exact)
         if c.use_winnowing:
             win = winnowing_candidate_pairs(

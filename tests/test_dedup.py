@@ -312,3 +312,87 @@ def test_pack_unpack_hashes_roundtrip(spark):
     ).collect()
     got = {r["id"]: r["back"] for r in out}
     assert got == {1: [1, -5, 2**62, 0], 2: [], 3: None}
+
+
+def test_fused_substring_grams_match_standalone(spark, pages):
+    """text_to_signatures(substring_gram_len=...) emits the SAME sampled
+    gram hashes as substring_fingerprint_pairs' own scan on ASCII text
+    (byte == codepoint), so the fused bucket join yields identical
+    pairs with identical shared_grams counts."""
+    from symspellpy_spark.operators.dedup import (
+        substring_pairs_from_grams,
+        text_to_signatures,
+    )
+
+    docs = pages.select(F.xxhash64("url").alias("id"), "text")
+    sig = text_to_signatures(
+        docs, k=5, n_bands=32, substring_gram_len=40, substring_sample_mod=8
+    )
+    fused = {
+        tuple(r)
+        for r in substring_pairs_from_grams(sig, max_bucket_size=1000).collect()
+    }
+    standalone = {
+        tuple(r)
+        for r in substring_fingerprint_pairs(
+            docs, id_col="id", gram_len=40, sample_mod=8, max_bucket_size=1000
+        ).collect()
+    }
+    assert fused == standalone and len(fused) > 0
+
+
+def test_exact_duplicates_from_hash_matches(spark):
+    """The kernel's 64-bit full-text content hash groups byte-identical
+    texts exactly like md5 grouping (documented divergence: null and ''
+    share a group)."""
+    from symspellpy_spark.operators.dedup import (
+        exact_duplicates_from_hash,
+        text_to_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "alpha beta gamma delta "),  # trailing space: distinct
+            (4, "something else entirely"),
+            (5, "something else entirely"),
+            (6, "unique text"),
+        ],
+        "id long, text string",
+    )
+    sig = text_to_signatures(docs, k=3, n_bands=32, emit_text_hash=True)
+    fused = {tuple(r) for r in exact_duplicates_from_hash(sig).collect()}
+    legacy = {tuple(r) for r in exact_duplicates(docs, id_col="id").collect()}
+    assert fused == legacy == {(1, 1, 2), (2, 1, 2), (4, 4, 2), (5, 4, 2)}
+
+
+def test_fused_extras_non_ascii_and_empty(spark):
+    """Byte-oriented fused grams still pair identical non-ASCII docs,
+    and null/empty docs produce empty gram lists + a shared empty-text
+    hash group (documented divergence from md5 grouping)."""
+    from symspellpy_spark.operators.dedup import (
+        exact_duplicates_from_hash,
+        substring_pairs_from_grams,
+        text_to_signatures,
+    )
+
+    t = "наша быстрая лиса прыгает через ленивую собаку снова и снова"
+    docs = spark.createDataFrame(
+        [(1, t + " один"), (2, t + " два"), (3, "совсем другой текст"),
+         (4, ""), (5, None)],
+        "id long, text string",
+    )
+    sig = text_to_signatures(
+        docs, k=3, n_bands=32, substring_gram_len=12, substring_sample_mod=2,
+        emit_text_hash=True,
+    )
+    pair_ids = {
+        (r["id_a"], r["id_b"])
+        for r in substring_pairs_from_grams(sig, max_bucket_size=100).collect()
+    }
+    assert (1, 2) in pair_ids and not any(3 in p or 4 in p or 5 in p for p in pair_ids)
+    rows = {r["id"]: r for r in sig.collect()}
+    assert rows[4]["sub_grams"] == [] and rows[5]["sub_grams"] == []
+    exact = {tuple(r) for r in exact_duplicates_from_hash(sig).collect()}
+    assert exact == {(4, 4, 2), (5, 4, 2)}

@@ -188,3 +188,42 @@ def test_narrow_signature_checkpoint_bytes_and_equivalence(spark, pages, tmp_pat
     b_narrow = du(os.path.join(narrow_dir, "signatures"))
     b_full = du(os.path.join(full_dir, "signatures"))
     assert b_narrow < 0.55 * b_full, (b_narrow, b_full)
+
+
+def test_fused_candidates_equal_legacy(spark, pages):
+    """fuse_candidates=True (default: substring grams + text hash come
+    out of the signature kernel) must produce identical edges and
+    clusters to the legacy per-source text scans — the shared
+    _ContentHasher guarantees identical gram hash values on ASCII
+    text."""
+    out_f = DedupPipeline(spark, DedupConfig()).run(pages)
+    out_l = DedupPipeline(spark, DedupConfig(fuse_candidates=False)).run(pages)
+    edges_f = {
+        (r["id_a"], r["id_b"], tuple(sorted(r["sources"])))
+        for r in out_f["edges"].collect()
+    }
+    edges_l = {
+        (r["id_a"], r["id_b"], tuple(sorted(r["sources"])))
+        for r in out_l["edges"].collect()
+    }
+    assert edges_f == edges_l and len(edges_f) > 0
+    cl_f = {(r["url"], r["cluster_id"]) for r in out_f["clusters"].collect()}
+    cl_l = {(r["url"], r["cluster_id"]) for r in out_l["clusters"].collect()}
+    assert cl_f == cl_l
+
+
+def test_fused_candidates_read_no_text(spark, pages):
+    """After the signatures relation is materialized, fused candidate
+    generation is pure Catalyst over it: no Python/Arrow stage and no
+    re-scan of the pages text column anywhere in the plan."""
+    pipe = DedupPipeline(spark, DedupConfig(), collect_metrics=False)
+    pipe.signatures(pages).count()  # materialize the localCheckpoint
+    plan = (
+        pipe.candidate_pairs(pages)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for marker in ("ArrowEval", "EvalPython", "MapInArrow", "FlatMapsInPandas",
+                   "sampled_grams", "text#"):
+        assert marker not in plan, marker
