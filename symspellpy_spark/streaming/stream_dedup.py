@@ -26,7 +26,11 @@ __all__ = [
     "stream_signatures",
     "streaming_exact_dedup",
     "run_incremental_lsh",
+    "run_incremental_winnowing",
     "streaming_simhash_pairs",
+    "compact_band_index",
+    "compact_fingerprint_index",
+    "index_exists",
 ]
 
 
@@ -181,22 +185,42 @@ def index_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(jpath))
 
 
+def _swap_index(spark: SparkSession, index_path: str, tmp: str) -> None:
+    """Swap a freshly written ``tmp`` dir into place as ``index_path``.
+
+    Protocol: rename the live index ASIDE (never delete-then-rename: a
+    crash in that gap would lose the whole index and ``index_exists``
+    would silently restart the stream with empty history), rename tmp
+    into place, then delete the old dir. Each rename's boolean return
+    is checked and a failed swap raises — with a best-effort restore of
+    the old index — so a half-swap surfaces loudly instead of reading
+    as no-history. (foreachBatch is sequential, so no concurrent reader
+    mid-swap.)
+    """
+    old = index_path.rstrip("/") + "__old"
+    fs, jidx = _hadoop_fs(spark, index_path)
+    _, jtmp = _hadoop_fs(spark, tmp)
+    _, jold = _hadoop_fs(spark, old)
+    fs.delete(jold, True)  # leftover from a previously failed compaction
+    if not fs.rename(jidx, jold):
+        raise IOError(f"_swap_index: rename {index_path} -> {old} failed")
+    if not fs.rename(jtmp, jidx):
+        restored = fs.rename(jold, jidx)
+        raise IOError(
+            f"_swap_index: rename {tmp} -> {index_path} failed"
+            f" (old index {'restored' if restored else 'LEFT AT ' + old})"
+        )
+    fs.delete(jold, True)
+
+
 def compact_band_index(spark: SparkSession, index_path: str, files_per_band: int = 1) -> None:
     """Rewrite the append-only band index into few sorted files.
 
     Appends accumulate one file set per micro-batch; without compaction
     the per-batch probe pays O(#batches) file listings/opens even though
-    the row count is just O(history). Swap protocol: write tmp, rename
-    the live index ASIDE (never delete-then-rename: a crash in that gap
-    would lose the whole index and ``index_exists`` would silently
-    restart the stream with empty history), rename tmp into place, then
-    delete the old dir. Each rename's boolean return is checked and a
-    failed swap raises — with a best-effort restore of the old index —
-    so a half-swap surfaces loudly instead of reading as no-history.
-    (foreachBatch is sequential, so no concurrent reader mid-swap.)
+    the row count is just O(history). Swap via :func:`_swap_index`.
     """
     tmp = index_path.rstrip("/") + "__compact_tmp"
-    old = index_path.rstrip("/") + "__old"
     (
         spark.read.parquet(index_path)
         .repartition(files_per_band * 32, "band_id", "band_hash")
@@ -204,19 +228,42 @@ def compact_band_index(spark: SparkSession, index_path: str, files_per_band: int
         .write.mode("overwrite")
         .parquet(tmp)
     )
-    fs, jidx = _hadoop_fs(spark, index_path)
-    _, jtmp = _hadoop_fs(spark, tmp)
-    _, jold = _hadoop_fs(spark, old)
-    fs.delete(jold, True)  # leftover from a previously failed compaction
-    if not fs.rename(jidx, jold):
-        raise IOError(f"compact_band_index: rename {index_path} -> {old} failed")
-    if not fs.rename(jtmp, jidx):
-        restored = fs.rename(jold, jidx)
-        raise IOError(
-            f"compact_band_index: rename {tmp} -> {index_path} failed"
-            f" (old index {'restored' if restored else 'LEFT AT ' + old})"
-        )
-    fs.delete(jold, True)
+    _swap_index(spark, index_path, tmp)
+
+
+def compact_fingerprint_index(
+    spark: SparkSession,
+    index_path: str,
+    max_bucket_size: int = 1000,
+    files: int = 32,
+) -> None:
+    """Rewrite the append-only winnowing fingerprint index into few
+    sorted files, DROPPING fingerprints whose accumulated bucket exceeds
+    ``max_bucket_size`` — the streaming enforcement of the batch cap
+    semantics (``_bucket_pairs`` drops monster buckets: a fingerprint
+    shared by more than ``max_bucket_size`` documents is boilerplate,
+    evidence of nothing, and its probe join would otherwise fan out by
+    the full bucket size on every micro-batch forever). A dropped
+    fingerprint re-accretes from later batches but is re-dropped at the
+    next compaction, so a boilerplate bucket's join fan-out is bounded
+    to ``compact_every`` epochs of growth rather than the stream's
+    lifetime. Swap via :func:`_swap_index`.
+    """
+    from pyspark.sql import Window
+
+    tmp = index_path.rstrip("/") + "__compact_tmp"
+    w = Window.partitionBy("fingerprint")
+    (
+        spark.read.parquet(index_path)
+        .withColumn("_bs", F.count("*").over(w))
+        .where(F.col("_bs") <= max_bucket_size)
+        .drop("_bs")
+        .repartition(files, "fingerprint")
+        .sortWithinPartitions("fingerprint")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    _swap_index(spark, index_path, tmp)
 
 
 def run_incremental_lsh(
@@ -291,6 +338,102 @@ def run_incremental_lsh(
         banded.write.mode("append").parquet(index_path)
         if compact_every and (epoch_id + 1) % compact_every == 0:
             compact_band_index(sess, index_path)
+
+    writer = pages_stream.writeStream.foreachBatch(process)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def run_incremental_winnowing(
+    spark: SparkSession,
+    pages_stream: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    k: int = 8,
+    window: int = 4,
+    id_col: str = "url",
+    text_col: str = "text",
+    checkpoint: str | None = None,
+    compact_every: int = 16,
+    max_bucket_size: int = 1000,
+):
+    """foreachBatch driver: the streaming shape of
+    :func:`~symspellpy_spark.operators.dedup.winnowing_candidate_pairs`
+    — continuous local-match (MOSS) candidate detection against the
+    stream's own history.
+
+    Each micro-batch's winnowing fingerprints come out of the doc-local
+    Arrow kernel (stateless, no shuffle — one mapInPandas over
+    (id, text)), are probed against the accumulated fingerprint index
+    (batch side broadcast — history never shuffles) plus a
+    batch-internal self-join so same-batch matches are not missed, new
+    pairs are appended, and the batch's fingerprints are appended to
+    the index. Every ``compact_every`` epochs the index is compacted
+    (:func:`compact_fingerprint_index`), which also enforces the
+    boilerplate-bucket cap: between compactions a hot fingerprint's
+    probe fan-out can transiently exceed ``max_bucket_size`` (bounded
+    by ``compact_every`` batches of growth), after which the bucket is
+    dropped — the incremental analogue of the batch monster-bucket
+    drop. Within a single batch, fingerprints occurring more than
+    ``max_bucket_size`` times are dropped before any join.
+
+    The guarantee carried over from batch winnowing: any shared
+    substring of length >= window + k - 1 between two documents —
+    whether they arrive in the same micro-batch or epochs apart —
+    yields a shared fingerprint and hence a candidate pair (while
+    neither side's bucket is over the cap).
+    """
+    from pyspark.sql import Window
+
+    from symspellpy_spark.operators.dedup import winnowing_fingerprints
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        w = Window.partitionBy("fingerprint")
+        fps = (
+            winnowing_fingerprints(
+                batch_df, k=k, window=window, id_col=id_col, text_col=text_col
+            )
+            .select("id", "fingerprint")
+            .distinct()
+            .withColumn("_bs", F.count("*").over(w))
+            .where(F.col("_bs") <= max_bucket_size)
+            .drop("_bs")
+            # persist + explicit unpersist, NOT localCheckpoint (see
+            # run_incremental_lsh: checkpoint RDD blocks accrete over a
+            # stream's lifetime)
+            .persist()
+        )
+        try:
+            _process_batch(sess, fps, epoch_id)
+        finally:
+            fps.unpersist()
+
+    def _process_batch(sess, fps: DataFrame, epoch_id: int) -> None:
+        probe = F.broadcast(fps)
+        within = fps.join(
+            probe.select("fingerprint", F.col("id").alias("id_b")),
+            ["fingerprint"],
+        ).where(F.col("id") < F.col("id_b"))
+        if index_exists(sess, index_path):
+            history = sess.read.parquet(index_path)
+            against_history = probe.join(
+                history.withColumnRenamed("id", "id_b"), ["fingerprint"]
+            ).where(F.col("id") != F.col("id_b"))
+            cand = within.unionByName(against_history)
+        else:
+            cand = within
+        new_pairs = cand.select(
+            F.least("id", "id_b").alias("id_a"),
+            F.greatest("id", "id_b").alias("id_b"),
+        ).distinct()
+        new_pairs.write.mode("append").parquet(pairs_path)
+        fps.write.mode("append").parquet(index_path)
+        if compact_every and (epoch_id + 1) % compact_every == 0:
+            compact_fingerprint_index(
+                sess, index_path, max_bucket_size=max_bucket_size
+            )
 
     writer = pages_stream.writeStream.foreachBatch(process)
     if checkpoint:

@@ -379,3 +379,89 @@ def test_ivf_cosine_topk_recall_clustered(spark):
         hits += len(want & got_map.get(qid, set()))
         total += len(want)
     assert hits / total >= 0.9, hits / total
+
+
+def _run_stream_winnow(spark, tmp_path, pages, n_parts=3, **kw):
+    from symspellpy_spark.streaming.stream_dedup import run_incremental_winnowing
+
+    src = str(tmp_path / "win_src")
+    for i in range(n_parts):
+        pages.where(F.crc32(F.col("url")) % n_parts == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/p{i}")
+    schema = spark.read.parquet(f"{src}/p0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    index_path = str(tmp_path / "fp_index")
+    pairs_path = str(tmp_path / "win_pairs")
+    q = run_incremental_winnowing(
+        spark,
+        stream,
+        index_path,
+        pairs_path,
+        checkpoint=str(tmp_path / "win_ckpt"),
+        **kw,
+    )
+    try:
+        q.processAllAvailable()
+        exc = q.exception()
+    except Exception as e:
+        exc = e
+    finally:
+        q.stop()
+    return index_path, pairs_path, exc
+
+
+def test_incremental_winnowing_matches_batch(spark, tmp_path):
+    """Cross-batch + within-batch streaming winnowing pairs must equal
+    the batch winnowing_candidate_pairs pair set on the same corpus
+    (k=16/window=8 keeps the tiny-vocab synthetic corpus
+    discriminative, as in bench.py)."""
+    from symspellpy_spark.operators.dedup import winnowing_candidate_pairs
+    from symspellpy_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, n_docs=90, n_base=20, seed=23)
+    index_path, pairs_path, exc = _run_stream_winnow(
+        spark, tmp_path, pages, k=16, window=8
+    )
+    assert exc is None
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(pairs_path).collect()
+    }
+    exp = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in winnowing_candidate_pairs(
+            pages, k=16, window=8, id_col="url"
+        ).collect()
+    }
+    assert got == exp and len(exp) > 0
+
+
+def test_fingerprint_compaction_caps_buckets(spark, tmp_path):
+    """With compact_every=1, the fingerprint index ends every epoch with
+    no bucket over max_bucket_size (boilerplate fingerprints dropped —
+    the batch monster-bucket semantics) and a bounded file count."""
+    import glob
+
+    from symspellpy_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, n_docs=60, n_base=15, seed=29)
+    index_path, pairs_path, exc = _run_stream_winnow(
+        spark, tmp_path, pages, n_parts=4, k=8, window=4,
+        compact_every=1, max_bucket_size=8,
+    )
+    assert exc is None
+    files = glob.glob(f"{index_path}/*.parquet")
+    assert 0 < len(files) <= 32
+    idx = spark.read.parquet(index_path)
+    over = (
+        idx.groupBy("fingerprint")
+        .count()
+        .where(F.col("count") > 8)
+        .count()
+    )
+    assert over == 0 and idx.count() > 0
