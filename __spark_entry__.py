@@ -575,6 +575,30 @@ def q_winnowing_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing candidate-pair generation end-to-end through the
+    PRODUCTION path (operators/dedup.py::winnowing_candidate_pairs):
+    doc-local Arrow kernel fingerprints (xxhash64 family), distinct
+    (id, fingerprint), capped-bucket self-join (_bucket_pairs), shared-
+    fingerprint counts. k=15/window=8 keeps 15-char grams
+    discriminative on the synthetic corpus, and max_bucket_size=20 is
+    BELOW the corpus's largest fingerprint bucket (37), so the
+    monster-bucket drop — the 100-TB boilerplate defense — is exercised
+    and verified, not inert. The oracle replays gram XXH64 via the SQL
+    stage chain, the window min, the bucket-size window filter, and the
+    self-join."""
+    docs = _read(spark, sf_dir, "documents")
+    from symspellpy_spark.operators.dedup import winnowing_candidate_pairs
+
+    return winnowing_candidate_pairs(
+        docs, k=15, window=8, id_col="doc_id", max_bucket_size=20
+    ).select(
+        F.col("id_a"),
+        F.col("id_b"),
+        F.col("shared_fingerprints"),
+    )
+
+
 def q_compound_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3 lookup_compound on a deterministic slice, oracle-checked.
 
@@ -948,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_md5_pairs": q_simhash_md5_pairs,
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "winnowing_xxhash": q_winnowing_xxhash,
+        "winnowing_pairs": q_winnowing_pairs,
         "compound_correct": q_compound_correct,
         "compound_noisy": q_compound_noisy,
         "word_segmentation": q_word_segmentation,
@@ -1285,6 +1310,55 @@ def _winnowing_xxh_oracle() -> str:
     SELECT DISTINCT doc_id, pos, wmin AS fingerprint FROM chosen"""
 
 
+def _winnowing_pairs_oracle(k: int = 15, window: int = 8, cap: int = 20) -> str:
+    """winnowing_pairs oracle: XXH64 per length-``k`` gram (SQL stage
+    chain, <=15 supported), signed wrap, window-min over ``window``
+    gram positions, DISTINCT (doc_id, fingerprint) — pair generation
+    needs the fingerprint set only, so the rightmost-tie position
+    replay is unnecessary here — then the capped-bucket self-join:
+    buckets with 1 < size <= ``cap`` pair their members, larger buckets
+    (boilerplate) are dropped, matching _bucket_pairs exactly."""
+    min_len = k + window - 1
+    base = f"""SELECT doc_id, p, substr(text, p, {k}) AS tokv
+        FROM (SELECT doc_id, text FROM documents WHERE length(text) >= {min_len}),
+             unnest(range(1, length(text) - {k - 2})) AS t(p)"""
+    hashed = _xxh64_nested_sql(base)
+    return f"""
+    WITH grams AS (
+        SELECT doc_id, p,
+               CAST(CASE WHEN xxh >= {1 << 63}
+                         THEN CAST(xxh AS HUGEINT) - {_M64}
+                         ELSE CAST(xxh AS HUGEINT) END AS BIGINT) AS h
+        FROM ({hashed})
+    ),
+    win AS (
+        SELECT doc_id,
+               min(h) OVER (
+                   PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING
+               ) AS wmin,
+               p, max(p) OVER (PARTITION BY doc_id) AS m
+        FROM grams
+    ),
+    fp AS (
+        SELECT DISTINCT doc_id AS id, wmin AS fingerprint
+        FROM win WHERE p <= m - {window - 1}
+    ),
+    sized AS (
+        SELECT id, fingerprint,
+               count(*) OVER (PARTITION BY fingerprint) AS bs
+        FROM fp
+    ),
+    capped AS (
+        SELECT id, fingerprint FROM sized WHERE bs > 1 AND bs <= {cap}
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           count(*) AS shared_fingerprints
+    FROM capped a JOIN capped b
+      ON a.fingerprint = b.fingerprint AND a.id < b.id
+    GROUP BY a.id, b.id"""
+
+
 def oracle_sql() -> dict[str, str]:
     lookup_base = (
         _ORACLE_VOCAB
@@ -1560,6 +1634,7 @@ def oracle_sql() -> dict[str, str]:
         # Production winnowing kernel with the xxhash64 family (see
         # q_winnowing_xxhash): XXH64 SQL stage chain per gram.
         "winnowing_xxhash": _winnowing_xxh_oracle(),
+        "winnowing_pairs": _winnowing_pairs_oracle(),
         # Winnowing (see q_winnowing_fingerprints): same gram hashes,
         # window-min, rightmost tie, distinct selections.
         "winnowing_fingerprints": """
