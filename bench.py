@@ -362,6 +362,49 @@ def main() -> None:
         shutil.rmtree(st_src, ignore_errors=True)
         shutil.rmtree(st_state, ignore_errors=True)
 
+        # --- streaming winnowing: drain the winnowing subset in 4
+        # micro-batches (kernel fingerprints per batch, broadcast probe
+        # against the accumulated fingerprint index; the final batch
+        # triggers a compaction, so its cost is in the number) ---
+        from symspellpy_spark.streaming.stream_dedup import (
+            run_incremental_winnowing,
+        )
+
+        sw_src = os.path.join(scratch, "swin_src")
+        shutil.rmtree(sw_src, ignore_errors=True)
+        for i in range(4):
+            win_pages.where(
+                (F.crc32(F.col("url")) / frac).cast("long") % 4 == i
+            ).coalesce(4).write.mode("overwrite").parquet(f"{sw_src}/p{i}")
+        sw_schema = spark.read.parquet(f"{sw_src}/p0").schema
+        sw_stream = (
+            spark.readStream.schema(sw_schema)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(sw_src + "/*")
+        )
+        sw_state = os.path.join(scratch, "swin_state")
+        shutil.rmtree(sw_state, ignore_errors=True)
+        t0 = time.perf_counter()
+        q = run_incremental_winnowing(
+            spark,
+            sw_stream,
+            os.path.join(sw_state, "fp_index"),
+            os.path.join(sw_state, "pairs"),
+            k=16,
+            window=8,
+            checkpoint=os.path.join(sw_state, "ckpt"),
+            compact_every=4,
+        )
+        q.processAllAvailable()
+        q.stop()
+        timings["streaming_winnow"] = round(time.perf_counter() - t0, 3)
+        timings["streaming_winnow_docs"] = n_win
+        timings["streaming_winnow_docs_per_sec"] = round(
+            n_win / timings["streaming_winnow"], 1
+        )
+        shutil.rmtree(sw_src, ignore_errors=True)
+        shutil.rmtree(sw_state, ignore_errors=True)
+
 
     non_time = (
         # pipeline_sec is the SUM of the three pipeline_* stage timings
@@ -383,6 +426,8 @@ def main() -> None:
         "winnowing_docs_per_sec",
         "streaming_lsh_docs",
         "streaming_lsh_docs_per_sec",
+        "streaming_winnow_docs",
+        "streaming_winnow_docs_per_sec",
     )
     total = round(sum(v for k, v in timings.items() if k not in non_time), 3)
     print(
