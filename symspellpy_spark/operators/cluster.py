@@ -2,12 +2,20 @@
 
 Spark has no recursive operator, so the fixpoint loop is driven from
 Python over DataFrames (SURVEY.md §4): each iteration propagates the
-minimum label across edges, ``localCheckpoint`` cuts lineage, and
-convergence is an aggregate check. Large-star/small-star style
+minimum label across edges AND pointer-jumps (label <- label's label),
+``localCheckpoint`` cuts lineage, and convergence is an aggregate
+check. Plain hash-min moves the component minimum one hop per
+iteration — O(diameter) Spark jobs, and near-dup graphs DO have long
+chains (partial-overlap docs A~B~C~... from the winnowing/substring
+sweeps); the jumping step halves the remaining distance each round,
+so convergence is O(log diameter) jobs, which is what bounds the
+driver-loop floor at cluster scale. Large-star/small-star style
 alternation is unnecessary at the label-propagation sizes we produce
 (edges are already deduplicated verified pairs); the hot-key danger is
 the giant-cluster hub, mitigated by propagating in BOTH directions in
-one shuffle and by AQE skew handling on the join.
+one shuffle, by AQE skew handling on the joins, and by the jump join
+having exactly one build row per key (skewed probe keys stream against
+a single match — no fan-out).
 
 Output labels are stable: the minimum member id of each component.
 """
@@ -26,11 +34,17 @@ def connected_components(
     id_b: str = "id_b",
     max_iterations: int = 50,
     checkpoint_every: int = 1,
+    pointer_jumping: bool = True,
 ) -> DataFrame:
     """-> (id, cluster_id) where cluster_id = min id reachable.
 
     ``vertices`` (one ``id`` column) optionally adds isolated vertices,
     which come back as singleton clusters (cluster_id = id).
+
+    ``pointer_jumping`` compresses label chains each iteration
+    (label <- label(label)): labels are monotonically nonincreasing and
+    ``label <= id`` is invariant, so the jump can only tighten, and a
+    path graph converges in O(log n) iterations instead of O(n).
     """
     e = (
         edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
@@ -57,15 +71,32 @@ def connected_components(
             .agg(F.min("label").alias("nlabel"))
             .withColumnRenamed("a", "id")
         )
-        new_labels = (
-            labels.join(neigh, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-                ).alias("label"),
-                (F.col("nlabel") < F.col("label")).alias("changed"),
+        stepped = labels.join(neigh, "id", "left").select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+            ).alias("label"),
+            F.col("label").alias("_old"),
+        )
+        if pointer_jumping:
+            # label <- label(label): every label value IS a vertex id
+            # (labels start at id and only ever take other vertices'
+            # labels), so the build side has exactly one row per key and
+            # the jump is a plain equi-join, skew-safe by construction
+            ptr = stepped.select(
+                F.col("id").alias("_pid"), F.col("label").alias("_plabel")
             )
+            stepped = stepped.join(
+                ptr, stepped["label"] == ptr["_pid"], "left"
+            ).select(
+                "id",
+                F.coalesce(F.col("_plabel"), F.col("label")).alias("label"),
+                "_old",
+            )
+        new_labels = stepped.select(
+            "id",
+            "label",
+            (F.col("label") < F.col("_old")).alias("changed"),
         )
         if checkpoint_every and (it % checkpoint_every == 0):
             # lazy checkpoint: the convergence count below materializes it,
