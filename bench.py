@@ -26,6 +26,18 @@ Env:
   BENCH_PIPELINE_DOCS  override corpus size (default 600000*sf)
   BENCH_DOC_TOKENS     min,max tokens/doc   (default 80,400)
   BENCH_REPS           pipeline repetitions (default 2; best is reported)
+  BENCH_WORKLOAD_REPS  repetitions per non-pipeline workload (default 2;
+                       best is reported). Reps rebuild the operator plan
+                       (fresh scoped-cache generation) but keep the JVM,
+                       generated-code cache, and worker-local
+                       dictionary/cell caches warm — i.e. entries report
+                       STEADY-STATE throughput, the shape of a
+                       long-running pipeline, not first-query latency
+                       with Janino compile time folded in. Raised from
+                       single-shot in round 3 for stall robustness (see
+                       BASELINE.md: this VM stalls intermittently, and a
+                       single-shot entry spanning a stall records the
+                       stall, not the engine).
   BENCH_SCRATCH        scratch dir for the parquet corpus
   BENCH_ONLY           "pipeline" -> only the flagship pipeline runs
                        (what scaling_bench measures per level)
@@ -95,10 +107,24 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    def timed(name, fn):
-        t0 = time.perf_counter()
-        out = fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    # best-of-N per workload (not just for the pipeline): this VM's
+    # noise is not gaussian jitter but intermittent multi-second stalls
+    # (hypervisor preemption — measured: the same 5s numpy bandwidth
+    # probe returning 8 and 715 aggregate reps minutes apart), so a
+    # single-shot entry that spans a stall records the stall, not the
+    # engine. Each rep rebuilds the operator plan (fresh scoped-cache
+    # generation), so rep 2 is JIT-warm but intermediate-cold — the
+    # same thing rep 1 measures after the untimed warmups.
+    wreps = int(os.environ.get("BENCH_WORKLOAD_REPS", "2"))
+
+    def timed(name, fn, reps: int | None = None):
+        best, out = None, None
+        for _ in range(wreps if reps is None else reps):
+            t0 = time.perf_counter()
+            out = fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
         return out
 
     # untimed warmup at the smallest sf: Janino/codegen compilation of
@@ -156,8 +182,13 @@ def main() -> None:
             .localCheckpoint(eager=True)
         )
         n_q = queries.count()
-        out = lookup_batch(queries, d, Verbosity.TOP)
-        timed("lookup_en_batch", lambda: out.count())
+        # rebuild the lookup plan per rep: a fresh lookup_batch call
+        # bumps the scoped-cache generation, so reps don't reuse rep 1's
+        # persisted intermediates
+        timed(
+            "lookup_en_batch",
+            lambda: lookup_batch(queries, d, Verbosity.TOP).count(),
+        )
         timings["lookup_en_queries"] = n_q
         timings["lookup_en_qps"] = round(n_q / timings["lookup_en_batch"], 1)
 
