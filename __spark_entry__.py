@@ -265,6 +265,20 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("id").alias("doc_id"), "cluster_id")
 
 
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus (operators/cluster.py::select_canonical):
+    every doc in no duplicate cluster plus one deterministic
+    representative per cluster — longest text, ties -> smallest id,
+    selected via a single min(struct) hash aggregation (no window
+    sort). The oracle replays the cluster recursive CTE and picks
+    representatives with a row_number window."""
+    docs = _read(spark, sf_dir, "documents")
+    from symspellpy_spark.operators.cluster import select_canonical
+
+    clusters = q_dedup_clusters(spark, sf_dir)
+    return select_canonical(docs, clusters, id_col="doc_id").select("doc_id")
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for the first 10 vectors."""
     emb = _read(spark, sf_dir, "embeddings")
@@ -960,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_survivors": q_dedup_survivors,
         "embedding_topk": q_embedding_topk,
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "ivf_cosine_topk": q_ivf_cosine_topk,
@@ -1433,6 +1448,30 @@ def oracle_sql() -> dict[str, str]:
         SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
     )
     SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""",
+        "dedup_survivors": "\n    WITH RECURSIVE "
+        + _ORACLE_GRAMS_BODY
+        + f""",
+    e0 AS (SELECT doc_a AS a, doc_b AS b FROM jac WHERE jaccard >= {JACCARD_T}),
+    edges AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+    ),
+    clus AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+    ranked AS (
+        SELECT c.doc_id, c.cluster_id,
+               row_number() OVER (
+                   PARTITION BY c.cluster_id
+                   ORDER BY length(d.text) DESC, c.doc_id ASC
+               ) AS rn
+        FROM clus c JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM clus)
+    UNION ALL
+    SELECT doc_id FROM ranked WHERE rn = 1""",
         "embedding_topk": """
     WITH q AS (SELECT vec_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
     pairs AS (

@@ -24,7 +24,49 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["connected_components"]
+__all__ = ["connected_components", "select_canonical"]
+
+
+def select_canonical(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "url",
+    cluster_col: str = "cluster_id",
+    text_col: str = "text",
+    keep=None,
+) -> DataFrame:
+    """The deduplicated corpus: one ``id_col`` row per surviving doc —
+    every document in no duplicate cluster, plus exactly ONE
+    representative per cluster.
+
+    ``clusters`` maps ``id_col`` -> ``cluster_col`` for clustered docs
+    (the shape :func:`connected_components` / ``DedupPipeline.clusters``
+    emit). ``keep`` is a struct Column MINIMIZED per cluster to pick the
+    representative; the default keeps the longest ``text_col``, ties
+    broken by smallest id — deterministic, so reruns and retries select
+    the same survivor set.
+
+    Scale shape: representative selection is a single hash aggregation
+    (``min(struct(...))`` — partial map-side combine, no window sort,
+    no per-cluster explode), and the non-clustered side is a left-anti
+    join on the id. Both shuffle on keys the upstream stages already
+    partition by.
+    """
+    if keep is None:
+        keep = F.struct(
+            (-F.length(F.col(text_col))).alias("p"),
+            F.col(id_col).alias("i"),
+        )
+    member = docs.join(clusters.select(id_col, cluster_col), id_col)
+    reps = (
+        member.groupBy(cluster_col)
+        .agg(F.min(keep).alias("_k"))
+        .select(F.col("_k.i").alias(id_col))
+    )
+    untouched = docs.join(
+        clusters.select(id_col), id_col, "left_anti"
+    ).select(id_col)
+    return untouched.unionByName(reps)
 
 
 def connected_components(

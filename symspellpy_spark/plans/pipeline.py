@@ -475,6 +475,21 @@ class DedupPipeline:
         self._metric_count("clusters", cl)
         return cl
 
+    def survivors(self, pages: DataFrame) -> DataFrame:
+        """The deduplicated corpus: one url per surviving page — every
+        page in no duplicate cluster plus one deterministic
+        representative per cluster (longest extracted text, ties ->
+        smallest url). This is the pipeline's end product for a
+        training-data consumer; the text of every surviving url is
+        byte-identical to its input row (the pipeline never rewrites
+        text)."""
+        from symspellpy_spark.operators.cluster import select_canonical
+
+        cl = self.clusters(pages)
+        out = select_canonical(pages, cl, id_col="url")
+        self._metric_count("survivors", out)
+        return out
+
     def run(self, pages: DataFrame) -> dict[str, DataFrame]:
         clusters = self.clusters(pages)
         return {

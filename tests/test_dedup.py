@@ -176,6 +176,24 @@ def test_connected_components_path_converges_logarithmically(spark):
     assert got.count() == n
 
 
+def test_select_canonical(spark):
+    from symspellpy_spark.operators.cluster import select_canonical
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "bbbbbb"), (3, "cc"), (4, "dd"), (5, "ee"), (6, "ff")],
+        "id long, text string",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3)], "id long, cluster_id long"
+    )
+    got = sorted(
+        r["id"] for r in select_canonical(docs, clusters, id_col="id").collect()
+    )
+    # cluster {1,2}: 2 survives (longer text); {3,4}: tie -> smaller id 3;
+    # 5 and 6 are unclustered and pass through
+    assert got == [2, 3, 5, 6]
+
+
 def test_connected_components_singletons(spark):
     edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     verts = spark.createDataFrame([(1,), (2,), (9,)], "id long")

@@ -88,6 +88,25 @@ def test_byte_identical_text_invariant(spark, pages):
         assert orig[r["url"]] == r["text"]
 
 
+def test_pipeline_survivors(spark, pages):
+    """survivors = every unclustered url + exactly one url per cluster,
+    with the representative drawn from its own cluster."""
+    pipe = DedupPipeline(spark, DedupConfig())
+    cl = {r["url"]: r["cluster_id"] for r in pipe.clusters(pages).collect()}
+    surv = [r["url"] for r in pipe.survivors(pages).collect()]
+    assert len(surv) == len(set(surv))
+    n_urls = pages.count()
+    n_clusters = len(set(cl.values()))
+    assert len(surv) == n_urls - len(cl) + n_clusters
+    # one representative per cluster, and it belongs to that cluster
+    seen = {}
+    for u in surv:
+        if u in cl:
+            assert cl[u] not in seen, (u, seen[cl[u]])
+            seen[cl[u]] = u
+    assert len(seen) == n_clusters
+
+
 def test_symspell_normalization_improves_matching(spark):
     """Noisy-token correction via the delete-key index folds typo'd docs
     onto their clean twins before shingling."""
