@@ -140,6 +140,14 @@ def main() -> None:
         timed("index_build", lambda: E.q_deletes_index(spark, sf_dir).count())
         timed("lookup_top", lambda: E.q_lookup_top(spark, sf_dir).count())
         timed("embedding_topk", lambda: E.q_embedding_topk(spark, sf_dir).count())
+        timed(
+            "lsh_cosine_topk",
+            lambda: E.q_lsh_cosine_topk(spark, sf_dir).count(),
+        )
+        timed(
+            "ivf_cosine_topk",
+            lambda: E.q_ivf_cosine_topk(spark, sf_dir).count(),
+        )
         timed("sessionize", lambda: E.q_sessionize(spark, sf_dir).count())
         timed("tpch_q1", lambda: E.q_tpch_q1(spark, sf_dir).count())
 
