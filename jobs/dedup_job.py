@@ -42,6 +42,13 @@ def main(argv=None) -> None:
     ap.add_argument("--shingle-k", type=int, default=5)
     ap.add_argument("--max-bucket-size", type=int, default=1000)
     ap.add_argument(
+        "--survivors",
+        action="store_true",
+        help="also write the deduplicated corpus (survivors/ — one url "
+        "per surviving page: unclustered pages + one deterministic "
+        "representative per cluster)",
+    )
+    ap.add_argument(
         "--use-winnowing",
         action="store_true",
         help="add the winnowing (MOSS) local-match sweep to candidate sources",
@@ -85,7 +92,15 @@ def main(argv=None) -> None:
         os.path.join(args.output, "clusters")
     )
     out["edges"].write.mode("overwrite").parquet(os.path.join(args.output, "edges"))
-    out["metrics"].write.mode("overwrite").parquet(
+    n_surv = None
+    if args.survivors:
+        surv = pipe.survivors(pages)
+        surv.write.mode("overwrite").parquet(
+            os.path.join(args.output, "survivors")
+        )
+        n_surv = surv.count()
+    # fresh metrics_df: the survivors metric (if any) lands after run()
+    pipe.metrics_df().write.mode("overwrite").parquet(
         os.path.join(args.output, "metrics")
     )
     wall = time.perf_counter() - t0
@@ -98,6 +113,7 @@ def main(argv=None) -> None:
                 "docs_per_sec": round(n / wall, 1),
                 "clusters": out["clusters"].count(),
                 "edges": out["edges"].count(),
+                **({"survivors": n_surv} if n_surv is not None else {}),
             }
         )
     )

@@ -24,6 +24,7 @@ def test_dedup_job_subprocess(tmp_path):
             ckpt,
             "--cores",
             "4",
+            "--survivors",
         ],
         cwd=repo,
         stdout=subprocess.PIPE,
@@ -38,3 +39,5 @@ def test_dedup_job_subprocess(tmp_path):
     assert metrics.get("n_docs") == 600 or metrics, metrics
     assert os.path.isdir(os.path.join(out, "clusters"))
     assert os.path.isdir(os.path.join(out, "edges"))
+    assert os.path.isdir(os.path.join(out, "survivors"))
+    assert 0 < metrics["survivors"] <= metrics["docs"]
