@@ -77,16 +77,24 @@ def connected_components(
     max_iterations: int = 50,
     checkpoint_every: int = 1,
     pointer_jumping: bool = True,
+    pointer_jumping_after: int = 3,
 ) -> DataFrame:
     """-> (id, cluster_id) where cluster_id = min id reachable.
 
     ``vertices`` (one ``id`` column) optionally adds isolated vertices,
     which come back as singleton clusters (cluster_id = id).
 
-    ``pointer_jumping`` compresses label chains each iteration
-    (label <- label(label)): labels are monotonically nonincreasing and
-    ``label <= id`` is invariant, so the jump can only tighten, and a
-    path graph converges in O(log n) iterations instead of O(n).
+    ``pointer_jumping`` compresses label chains (label <- label(label)):
+    labels are monotonically nonincreasing and ``label <= id`` is
+    invariant, so the jump can only tighten, and a path graph converges
+    in O(log n) iterations instead of O(n). The jump join costs ~20%
+    per iteration (measured on bench-shaped dup graphs), and typical
+    near-dup components converge in <= ``pointer_jumping_after``
+    one-hop rounds anyway, so jumping engages ADAPTIVELY — only from
+    iteration ``pointer_jumping_after`` on, i.e. only when plain
+    propagation has demonstrably not finished (long chains from
+    partial-overlap docs, giant boilerplate components). Small graphs
+    pay nothing; pathological ones still get O(log d).
     """
     e = (
         edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
@@ -120,7 +128,7 @@ def connected_components(
             ).alias("label"),
             F.col("label").alias("_old"),
         )
-        if pointer_jumping:
+        if pointer_jumping and it >= pointer_jumping_after:
             # label <- label(label): every label value IS a vertex id
             # (labels start at id and only ever take other vertices'
             # labels), so the build side has exactly one row per key and

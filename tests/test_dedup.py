@@ -163,15 +163,17 @@ def test_connected_components_vs_bfs(spark):
 
 def test_connected_components_path_converges_logarithmically(spark):
     """Pointer jumping bounds the driver loop at O(log diameter): a
-    1000-vertex path must fully converge within 12 iterations (plain
-    one-hop hash-min would need ~1000 — measured 199 s vs 4 s on
-    local[8]). Long chains are real in near-dup graphs: partial-overlap
-    docs A~B~C~... from the winnowing/substring sweeps."""
+    1000-vertex path must fully converge within 16 iterations — 3
+    one-hop rounds before adaptive jumping engages, then doubling —
+    where plain one-hop hash-min would need ~1000 (measured 199 s vs
+    4 s on local[8]). Long chains are real in near-dup graphs:
+    partial-overlap docs A~B~C~... from the winnowing/substring
+    sweeps."""
     n = 1000
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
     )
-    got = connected_components(edges, max_iterations=12)
+    got = connected_components(edges, max_iterations=16)
     assert got.where("cluster_id != 0").count() == 0
     assert got.count() == n
 
