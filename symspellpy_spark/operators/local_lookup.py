@@ -3,11 +3,12 @@
 Same result contract as :func:`operators.lookup.lookup_batch`
 (reference ``SymSpell.lookup``, symspellpy.py:358-637 — verbosity cuts,
 ignore_token short-circuits, the ALL-verbosity one-char duplicate
-quirk, transfer_casing, include_unknown), but no joins: only the words
-map (term -> count, ~2 MB for the EN dictionary) is broadcast; each
-python worker derives the delete-key candidate index from it once and
-resolves queries locally, verifying candidates with the SAME numpy
-kernels ``distance_udf`` uses, one vectorized call per Arrow batch.
+quirk, transfer_casing, include_unknown), but no joins: the
+delete-key candidate index is built ONCE on the driver as flat numpy
+arrays (operators/neighborhood.py) and broadcast; workers deserialize
+it at memcpy speed, generate candidates with vectorized searchsorted
+probes, and verify them with the SAME numpy kernels ``distance_udf``
+uses, one vectorized call per Arrow batch.
 Resolutions are cached across batches in the worker.
 
 When to use which (measured, local[32], EN dictionary):
@@ -28,6 +29,7 @@ at every verbosity.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
@@ -38,11 +40,13 @@ from symspellpy_spark.functions.distance import (
 )
 from symspellpy_spark.functions.text import case_transfer_similar_py
 from symspellpy_spark.operators.dictionary import SparkDictionary
+from symspellpy_spark.operators.neighborhood import fuzzy_index_broadcast
 
 __all__ = ["lookup_batch_local"]
 
-# per-python-worker state keyed by (broadcast id, d, p); workers are
-# reused across tasks so the index builds once per worker
+# per-python-worker state keyed by (broadcast token, d, p, staged);
+# workers are reused across tasks, so the deserialized index, derived
+# words map and resolution cache persist across batches
 _STATE: dict = {}
 _CACHE_CAP = 4_000_000
 
@@ -77,49 +81,6 @@ def _words_broadcast(queries: DataFrame, dictionary: SparkDictionary):
     _BC_CACHE.clear()
     _BC_CACHE[id(dictionary)] = (weakref.ref(dictionary), bc, token)
     return bc, token
-
-
-def _neighborhood(s: str, d: int, p: int) -> set[str]:
-    """Deletes of s[:p] up to depth d, plus "" for short s — the exact
-    key set of operators/deletes.py:62 (reference symspellpy.py:1038)."""
-    pref = s[:p]
-    seen = {pref}
-    frontier = [pref]
-    for _ in range(d):
-        nxt = []
-        for t in frontier:
-            for i in range(len(t)):
-                k = t[:i] + t[i + 1 :]
-                if k not in seen:
-                    seen.add(k)
-                    nxt.append(k)
-        frontier = nxt
-    if len(s) <= d:
-        seen.add("")
-    return seen
-
-
-def _build_state(words: dict, d: int, p: int):
-    # full single-delete index: any OSA-distance-1 pair shares a full
-    # single delete, and buckets stay tiny (no prefix conflation) — see
-    # segmentation.py for the argument. Used directly at d=1 and as the
-    # staged shallow pass at d>=2 (a query with ANY distance<=1 match is
-    # fully resolved by it for TOP/CLOSEST, the same argument as the
-    # relational staged read path, lookup.py:110-121).
-    idx1: dict[str, list[str]] = {}
-    for t in words:
-        idx1.setdefault(t, []).append(t)
-        for i in range(len(t)):
-            idx1.setdefault(t[:i] + t[i + 1 :], []).append(t)
-    deep: dict[str, list[str]] | None = None
-    if d >= 2:
-        deep = {}
-        for t in words:
-            for k in _neighborhood(t, d, p):
-                deep.setdefault(k, []).append(t)
-    one_char = sorted(t for t in words if len(t) == 1)
-    max_len = max((len(t) for t in words), default=0)
-    return idx1, deep, one_char, max_len
 
 
 def lookup_batch_local(
@@ -171,7 +132,14 @@ def lookup_batch_local(
     tc = transfer_casing
     inc_unknown = include_unknown
 
-    bc, bc_token = _words_broadcast(queries, dictionary)
+    if d_ >= 1:
+        bc = None
+        idx_bc, bc_token = fuzzy_index_broadcast(
+            queries.sparkSession, dictionary, d_, p_
+        )
+    else:
+        idx_bc = None
+        bc, bc_token = _words_broadcast(queries, dictionary)
 
     q = (
         queries.select(F.col(query_col).alias("query"))
@@ -194,14 +162,26 @@ def lookup_batch_local(
         key = (bc_token, d_, p_, staged)
         state = _STATE.get(key)
         if state is None:
-            words = bc.value
-            idx1, deep, one_char, max_len = _build_state(words, d_, p_)
-            state = (words, idx1, deep, one_char, max_len, {})
+            if idx_bc is not None:
+                index = idx_bc.value
+                words = dict(zip(index.terms, index.counts.tolist()))
+                one_char = sorted(
+                    index.terms[i]
+                    for i in np.flatnonzero(index.tlens == 1)
+                )
+                max_len = index.max_len
+            else:  # d == 0: plain words map, no delete index needed
+                index = None
+                words = bc.value
+                one_char = sorted(t for t in words if len(t) == 1)
+                max_len = max((len(t) for t in words), default=0)
+            state = (index, words, one_char, max_len, {})
             for k in [k for k in _STATE if k[0] != bc_token]:
                 del _STATE[k]  # one dictionary per worker
             _STATE[key] = state
-        words, idx1, deep, one_char, max_len, cache = state
+        index, words, one_char, max_len, cache = state
         ign = re.compile(f"^(?:{ign_pat})") if ign_pat is not None else None
+        terms = index.terms if index is not None else None
 
         def within_one(a: str, b: str) -> bool:
             la, lb = len(a), len(b)
@@ -225,83 +205,76 @@ def lookup_batch_local(
                 i += 1
             return s[i:] == l[i + 1 :]
 
-        def candidates_d1(phrase: str) -> set[str]:
-            lq = len(phrase)
-            cands: set[str] = set()
-            for k in [phrase] + [
-                phrase[:i] + phrase[i + 1 :] for i in range(lq)
-            ]:
-                for t in idx1.get(k, ()):
-                    if abs(len(t) - lq) <= 1:
-                        cands.add(t)
-            return cands
+        def resolve_batch(todo: list) -> None:
+            """cache[phrase] = verified [(term, dist, count), ...].
 
-        def resolve_d1(phrase: str) -> list:
-            out = []
-            for t in candidates_d1(phrase):
-                if t == phrase:
-                    out.append((t, 0, words[t]))
-                elif within_one(phrase, t):
-                    out.append((t, 1, words[t]))
-            return out
-
-        def candidates_deep(phrase: str) -> list[str]:
-            lq = len(phrase)
-            cands: set[str] = set()
-            for k in _neighborhood(phrase, d_, p_):
-                for t in deep.get(k, ()):
-                    if abs(len(t) - lq) <= d_:
-                        cands.add(t)
-            return list(cands)
-
-        def resolve_batch(todo: list[str]) -> None:
-            """cache[phrase] = verified [(term, dist, count), ...]."""
+            Candidate generation is ONE vectorized FuzzyIndex pass per
+            stage over the whole batch (searchsorted into the broadcast
+            index) instead of per-phrase dict probes; distances are ONE
+            kernel call over all surviving (phrase, candidate) pairs."""
             if len(cache) > _CACHE_CAP:
                 cache.clear()
-            pairs_q: list[str] = []
-            pairs_t: list[str] = []
-            cand_map: dict[str, list[str]] = {}
+            fuzzy: list = []
             for phrase in todo:
                 if d_ == 0:
                     c = words.get(phrase)
                     cache[phrase] = [(phrase, 0, c)] if c is not None else []
-                    continue
-                if len(phrase) - d_ > max_len:
+                elif len(phrase) - d_ > max_len:
                     cache[phrase] = []
-                    continue
-                if d_ == 1:
-                    cache[phrase] = resolve_d1(phrase)
-                    continue
-                if staged:
-                    # shallow pass: any distance<=1 match fully resolves
-                    # a TOP/CLOSEST query (deeper matches cannot beat it)
-                    near = resolve_d1(phrase)
-                    if near:
-                        cache[phrase] = near
-                        continue
-                cl = candidates_deep(phrase)
-                if not cl:
-                    cache[phrase] = []
-                    continue
-                cand_map[phrase] = cl
-                pairs_q.extend([phrase] * len(cl))
-                pairs_t.extend(cl)
-            if not pairs_q:
+                else:
+                    fuzzy.append(phrase)
+            if not fuzzy:
                 return
-            dists = kernel(
-                pd.Series(pairs_q, dtype=object),
-                pd.Series(pairs_t, dtype=object),
-                d_,
-            ).to_numpy()
-            pos = 0
-            for phrase, cl in cand_map.items():
-                out = []
-                for t, dist in zip(cl, dists[pos : pos + len(cl)]):
-                    dist = int(dist)
-                    if dist >= 0:
-                        out.append((t, dist, words[t]))
-                pos += len(cl)
-                cache[phrase] = out
+            qlens = np.fromiter(
+                (len(q) for q in fuzzy), dtype=np.int64, count=len(fuzzy)
+            )
+            if d_ == 1 or staged:
+                # shallow pass: full-single-delete candidates; any
+                # distance<=1 match fully resolves a TOP/CLOSEST query
+                # (deeper matches cannot beat it)
+                _, utid, bounds = index.d1_groups(fuzzy, qlens)
+                deep_idx: list = []
+                for qi, phrase in enumerate(fuzzy):
+                    out = []
+                    for k in range(bounds[qi], bounds[qi + 1]):
+                        t = terms[utid[k]]
+                        if t == phrase:
+                            out.append((t, 0, words[t]))
+                        elif within_one(phrase, t):
+                            out.append((t, 1, words[t]))
+                    if d_ == 1 or out:
+                        cache[phrase] = out
+                    else:
+                        deep_idx.append(qi)
+            else:
+                # ALL / unstaged at d>=2: every phrase takes the full
+                # depth-d neighborhood (its candidate set is a superset
+                # of the shallow one)
+                deep_idx = list(range(len(fuzzy)))
+            if not deep_idx:
+                return
+            mq = [fuzzy[i] for i in deep_idx]
+            mlens = qlens[np.asarray(deep_idx, dtype=np.int64)]
+            pair_mi, pair_tid = index.deep_pairs(mq, mlens)
+            for phrase in mq:
+                cache[phrase] = []
+            if len(pair_mi) == 0:
+                return
+            pq = pd.Series([mq[i] for i in pair_mi], dtype=object)
+            pt = pd.Series([terms[i] for i in pair_tid], dtype=object)
+            dists = kernel(pq, pt, d_).to_numpy()
+            ok = dists >= 0
+            fmi = pair_mi[ok]
+            ftid = pair_tid[ok]
+            fd = dists[ok]
+            order = np.argsort(fmi, kind="stable")
+            fmi, ftid, fd = fmi[order], ftid[order], fd[order]
+            b2 = np.searchsorted(fmi, np.arange(len(mq) + 1))
+            for i, phrase in enumerate(mq):
+                cache[phrase] = [
+                    (terms[ftid[k]], int(fd[k]), words[terms[ftid[k]]])
+                    for k in range(b2[i], b2[i + 1])
+                ]
 
         for pdf in batches:
             qs = list(pdf["query"])

@@ -18,6 +18,7 @@ import math
 import string as _string
 import unicodedata
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import StringType
@@ -25,6 +26,7 @@ from pyspark.sql.types import StringType
 from symspellpy_spark.config import DistanceAlgorithm, Verbosity
 from symspellpy_spark.operators.dictionary import SparkDictionary
 from symspellpy_spark.operators.lookup import lookup_batch
+from symspellpy_spark.operators.neighborhood import fuzzy_index_broadcast
 
 __all__ = ["word_segmentation_batch", "nfkc_strip_hyphens_udf"]
 
@@ -495,30 +497,9 @@ def _segmentation_broadcast_d0(
     )
 
 
-def _delete_neighborhood_local(s: str, d: int, p: int) -> set[str]:
-    """Python twin of ``delete_neighborhood`` (operators/deletes.py:62,
-    reference symspellpy.py:1038-1068): every distinct string from
-    deleting <= d chars of s[:p], plus "" when len(s) <= d."""
-    pref = s[:p]
-    seen = {pref}
-    frontier = [pref]
-    for _ in range(d):
-        nxt = []
-        for t in frontier:
-            for i in range(len(t)):
-                k = t[:i] + t[i + 1 :]
-                if k not in seen:
-                    seen.add(k)
-                    nxt.append(k)
-        frontier = nxt
-    if len(s) <= d:
-        seen.add("")
-    return seen
-
-
-# per-python-worker state, keyed by broadcast id: the delete index is
-# rebuilt once per worker from the (small) words map, and resolved
-# queries are cached across Arrow batches — python workers are reused
+# per-python-worker state, keyed by the driver-generated broadcast
+# token: holds the deserialized FuzzyIndex, the words map derived from
+# it, and the cross-batch resolution cache — python workers are reused
 _WORKER_LOOKUP_STATE: dict = {}
 _WORKER_CACHE_CAP = 4_000_000
 
@@ -538,10 +519,11 @@ def _segmentation_broadcast_fuzzy(
 
     The relational path's cost is one distributed ``lookup_batch`` over
     the corpus's distinct substrings — O(len * max_word_len) candidate
-    strings per document through a join pipeline. Here only the words
-    map (term -> count, ~2 MB for the EN dictionary) is broadcast; each
-    python worker derives the delete-key index from it once, then
-    resolves cell queries locally with the semantics of ``lookup_batch``
+    strings per document through a join pipeline. Here the delete-key
+    index is built ONCE on the driver as flat numpy arrays
+    (operators/neighborhood.py) and broadcast — workers deserialize it
+    at memcpy speed instead of re-deriving a ~5 s dict index each —
+    then cell queries resolve locally with the semantics of ``lookup_batch``
     TOP (delete-neighborhood candidate gen per deletes.py:62, |len|
     prune, exact verify with the SAME numpy kernels distance_udf uses,
     (distance ASC, count DESC, term ASC) tie-break, ignore_pattern and
@@ -570,18 +552,12 @@ def _segmentation_broadcast_fuzzy(
     dict_max_len = dictionary.max_length
     ign_pat = ignore_pattern
 
-    words_map = {
-        r["term"]: r["count"]
-        for r in dictionary.words.select("term", "count").collect()
-    }
-    bc = docs.sparkSession.sparkContext.broadcast(words_map)
-    # stable per-broadcast token for the worker state key: id(bc) is a
-    # per-task wrapper address that CPython reuses after GC, so a later
-    # job with a different dictionary could collide on it and resolve
-    # against a stale delete index
-    import uuid
-
-    bc_token = uuid.uuid4().hex
+    # index built ONCE on the driver and broadcast as flat numpy arrays
+    # (neighborhood.py): workers deserialize at memcpy speed instead of
+    # re-deriving a ~5 s Python dict index per worker process
+    idx_bc, bc_token = fuzzy_index_broadcast(
+        docs.sparkSession, dictionary, d_, p_
+    )
 
     def make_resolve():
         import re
@@ -589,56 +565,16 @@ def _segmentation_broadcast_fuzzy(
         key = (bc_token, d_, p_)
         state = _WORKER_LOOKUP_STATE.get(key)
         if state is None:
-            words = bc.value
-            # FULL single-delete index (all d): any OSA-distance-1 pair
-            # shares a full single delete (deletion/insertion: the
-            # shorter IS a delete of the longer; substitution at i:
-            # delete i from both; adjacent transposition at i: delete i
-            # from one, i+1 from the other). Prefix buckets conflate
-            # every term sharing a 7-prefix regardless of tail — orders
-            # of magnitude more false candidates. Both generators are
-            # supersets of the true match set and the exact verify
-            # filters to it, so results are identical. At d>=2 this is
-            # the STAGED SHALLOW PASS: a TOP resolution with any
-            # distance<=1 match is fully decided by it (same argument
-            # as local_lookup.py / the relational staged read path),
-            # so the expensive deep-neighborhood kernel verify only
-            # runs for queries with no d<=1 match.
-            idx1: dict[str, list[str]] = {}
-            for t in words:
-                idx1.setdefault(t, []).append(t)
-                for i in range(len(t)):
-                    idx1.setdefault(t[:i] + t[i + 1 :], []).append(t)
-            deep: dict[str, list[str]] | None = None
-            if d_ >= 2:
-                deep = {}
-                for t in words:
-                    for k in _delete_neighborhood_local(t, d_, p_):
-                        deep.setdefault(k, []).append(t)
-            state = (words, idx1, deep, {})
+            index = idx_bc.value
+            words = dict(zip(index.terms, index.counts.tolist()))
+            state = (index, words, {})
             _WORKER_LOOKUP_STATE.clear()  # one dictionary per worker
             _WORKER_LOOKUP_STATE[key] = state
-        words, idx1, deep, cache = state
+        index, words, cache = state
         ign = re.compile(f"^(?:{ign_pat})") if ign_pat is not None else None
         ws = re.compile(r"\s")
-
-        def candidates_d1(q: str) -> list[str]:
-            lq = len(q)
-            cands: set[str] = set()
-            for k in [q] + [q[:i] + q[i + 1 :] for i in range(lq)]:
-                for t in idx1.get(k, ()):
-                    if abs(len(t) - lq) <= 1:
-                        cands.add(t)
-            return sorted(cands)
-
-        def candidates_of(q: str) -> list[str]:
-            lq = len(q)
-            cands: set[str] = set()
-            for k in _delete_neighborhood_local(q, d_, p_):
-                for t in deep.get(k, ()):
-                    if abs(len(t) - lq) <= d_:
-                        cands.add(t)
-            return sorted(cands)
+        terms = index.terms
+        rank = index.rank
 
         def within_one(q: str, t: str) -> bool:
             """Exact distance<=1 test (both kernels agree at d=1 except
@@ -664,59 +600,72 @@ def _segmentation_broadcast_fuzzy(
                 i += 1
             return s[i:] == l[i + 1 :]
 
-        def resolve_fuzzy_d1(q: str):
-            """d<=1 TOP without the DP kernel: q is OOV here, so every
-            match has distance exactly 1 and the TOP tie-break
-            (distance ASC, count DESC, term ASC) reduces to: first
-            verified candidate in (count DESC, term ASC) order. At
-            d>=2 a non-None result here IS the final TOP (any deep
-            match would carry distance >= 2)."""
-            cl = candidates_d1(q)
-            if not cl:
-                return None
-            cl.sort(key=lambda t: (-words[t], t))
-            for t in cl:
-                if within_one(q, t):
-                    return (t, 1, words[t])
-            return None
+        def resolve_batch(qlist: list) -> None:
+            """Resolve uncached OOV queries (already past the exact /
+            ignore / length gates) into the cache, staged:
 
-        def pick_best(cl: list[str], dists) -> tuple[str, int, int] | None:
-            best = None
-            best_key = None
-            for t, dist in zip(cl, dists):
-                dist = int(dist)
-                if dist < 0:
-                    continue
-                k2 = (dist, -words[t], t)
-                if best_key is None or k2 < best_key:
-                    best_key = k2
-                    best = (t, dist, words[t])
-            return best
+            d<=1 pass — vectorized full-single-delete candidate gen
+            (any OSA-d1 pair shares a full single delete), candidates
+            pre-sorted by (-count, term), first ``within_one`` survivor
+            IS the TOP at distance 1 (q is OOV, so no distance-0 tie).
+            A hit at d>=2 is still final: any deep match carries
+            distance >= 2.
 
-        def resolve_one(q: str):
-            c = words.get(q)
-            if c is not None:
-                return (q, 0, c)
-            if ign is not None and ign.match(q):
-                return (q, 0, 1)
-            if len(q) - d_ > dict_max_len:
-                return None
-            r1 = resolve_fuzzy_d1(q)
-            if d_ == 1 or r1 is not None:
-                return r1
-            cl = candidates_of(q)
-            if not cl:
-                return None
-            dists = kernel(
-                pd.Series([q] * len(cl), dtype=object),
-                pd.Series(cl, dtype=object),
-                d_,
-            ).to_numpy()
-            return pick_best(cl, dists)
+            deep pass (d>=2, only for d1 misses) — vectorized
+            prefix-neighborhood candidate gen, ONE kernel call for all
+            (query, candidate) pairs of the batch, then a lexsort
+            argmin replays the (distance ASC, count DESC, term ASC)
+            tie-break."""
+            nq = len(qlist)
+            qlens = np.fromiter(
+                (len(q) for q in qlist), dtype=np.int64, count=nq
+            )
+            _, utid, bounds = index.d1_groups(qlist, qlens)
+            miss: list = []
+            for qi in range(nq):
+                q = qlist[qi]
+                hit = None
+                for k in range(bounds[qi], bounds[qi + 1]):
+                    t = terms[utid[k]]
+                    if within_one(q, t):
+                        hit = (t, 1, words[t])
+                        break
+                if hit is not None:
+                    cache[q] = hit
+                elif d_ == 1:
+                    cache[q] = None
+                else:
+                    miss.append(qi)
+            if not miss:
+                return
+            mq = [qlist[i] for i in miss]
+            mlens = qlens[np.asarray(miss, dtype=np.int64)]
+            pair_mi, pair_tid = index.deep_pairs(mq, mlens)
+            if len(pair_mi) == 0:
+                for qi in miss:
+                    cache[qlist[qi]] = None
+                return
+            pq = pd.Series([mq[i] for i in pair_mi], dtype=object)
+            pt = pd.Series([terms[i] for i in pair_tid], dtype=object)
+            dists = kernel(pq, pt, d_).to_numpy()
+            ok = dists >= 0
+            fmi = pair_mi[ok]
+            ftid = pair_tid[ok]
+            fd = dists[ok].astype(np.int64)
+            order = np.lexsort((rank[ftid], fd, fmi))
+            fmi, ftid, fd = fmi[order], ftid[order], fd[order]
+            first = np.ones(len(fmi), dtype=bool)
+            first[1:] = fmi[1:] != fmi[:-1]
+            res: dict = {}
+            for i in np.flatnonzero(first):
+                t = terms[ftid[i]]
+                res[int(fmi[i])] = (t, int(fd[i]), words[t])
+            for mi, qi in enumerate(miss):
+                cache[qlist[qi]] = res.get(mi)
 
         def prepare(phrases):
             """Resolve every not-yet-cached distinct cell query of the
-            batch with one vectorized kernel call."""
+            batch with one vectorized candidate-gen + kernel call."""
             todo = set()
             for phrase in phrases:
                 if not phrase:
@@ -735,42 +684,19 @@ def _segmentation_broadcast_fuzzy(
                 return
             if len(cache) > _WORKER_CACHE_CAP:
                 cache.clear()
-            pairs_q: list[str] = []
-            pairs_t: list[str] = []
-            cand_map: dict[str, list[str]] = {}
+            qlist: list = []
             for q in todo:
                 c = words.get(q)
                 if c is not None:
                     cache[q] = (q, 0, c)
-                    continue
-                if ign is not None and ign.match(q):
+                elif ign is not None and ign.match(q):
                     cache[q] = (q, 0, 1)
-                    continue
-                if len(q) - d_ > dict_max_len:
+                elif len(q) - d_ > dict_max_len:
                     cache[q] = None
-                    continue
-                r1 = resolve_fuzzy_d1(q)
-                if d_ == 1 or r1 is not None:
-                    cache[q] = r1
-                    continue
-                cl = candidates_of(q)
-                if not cl:
-                    cache[q] = None
-                    continue
-                cand_map[q] = cl
-                pairs_q.extend([q] * len(cl))
-                pairs_t.extend(cl)
-            if not pairs_q:
-                return
-            dists = kernel(
-                pd.Series(pairs_q, dtype=object),
-                pd.Series(pairs_t, dtype=object),
-                d_,
-            ).to_numpy()
-            pos = 0
-            for q, cl in cand_map.items():
-                cache[q] = pick_best(cl, dists[pos : pos + len(cl)])
-                pos += len(cl)
+                else:
+                    qlist.append(q)
+            if qlist:
+                resolve_batch(qlist)
 
         _MISSING = object()
 
@@ -778,7 +704,16 @@ def _segmentation_broadcast_fuzzy(
             r = cache.get(q, _MISSING)
             if r is _MISSING:
                 # enumeration drift safety net: resolve synchronously
-                r = resolve_one(q)
+                c = words.get(q)
+                if c is not None:
+                    r = (q, 0, c)
+                elif ign is not None and ign.match(q):
+                    r = (q, 0, 1)
+                elif len(q) - d_ > dict_max_len:
+                    r = None
+                else:
+                    resolve_batch([q])
+                    r = cache[q]
                 cache[q] = r
             return r
 

@@ -1,0 +1,186 @@
+"""FuzzyIndex (operators/neighborhood.py) vs the dict-based resolver.
+
+The index must produce EXACTLY the candidate sets of the per-worker
+dict build it replaces (segmentation.py round-2 shape; reference
+symspellpy.py:1038-1068 delete keys): hashing may in principle add
+false candidates, but on these vocabularies the sets are equal — the
+tests assert superset-with-verified-equality so a hash regression that
+DROPS a true candidate always fails.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from symspellpy_spark.operators.neighborhood import (
+    build_fuzzy_index,
+    delete_neighborhood_py,
+    grouped_arange,
+    pack_keys,
+)
+
+
+def _random_vocab(rng, n, alphabet="abcdef", lo=1, hi=9):
+    words = {}
+    while len(words) < n:
+        t = "".join(
+            rng.choice(alphabet) for _ in range(rng.randint(lo, hi))
+        )
+        words.setdefault(t, rng.randint(1, 10**9))
+    return words
+
+
+def _queries(rng, words, n, alphabet="abcdef"):
+    qs = set()
+    terms = sorted(words)
+    while len(qs) < n:
+        t = rng.choice(terms)
+        mode = rng.random()
+        if mode < 0.25:
+            qs.add(t)
+        elif mode < 0.5 and len(t) > 1:
+            i = rng.randrange(len(t))
+            qs.add(t[:i] + t[i + 1 :])
+        elif mode < 0.75:
+            i = rng.randrange(len(t) + 1)
+            qs.add(t[:i] + rng.choice(alphabet) + t[i:])
+        else:
+            qs.add(
+                "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 10)))
+            )
+    return sorted(qs)
+
+
+class TestPackKeys:
+    def test_batch_independence(self):
+        # the same string must hash identically whatever else is in the
+        # batch (the variable-width FNV bug this module was born with)
+        a = pack_keys(["abc"])
+        b = pack_keys(["abc", "a-much-longer-key-string-here"])
+        assert a[0] == b[0]
+
+    def test_distinct_and_equal(self):
+        rng = random.Random(0)
+        keys = sorted(
+            {
+                "".join(rng.choice("abcxyz") for _ in range(rng.randint(0, 12)))
+                for _ in range(2000)
+            }
+        )
+        h = pack_keys(keys)
+        assert len(np.unique(h)) == len(keys)  # no collisions here
+        assert np.array_equal(h, pack_keys(list(keys)))
+
+    def test_non_ascii_and_empty(self):
+        h = pack_keys(["", "é", "naïve", "日本語"])
+        assert len(np.unique(h)) == 4
+        assert h[0] == pack_keys([""])[0]
+
+    def test_length_not_confusable_with_nul(self):
+        h = pack_keys(["a", "a\x00"])
+        assert h[0] != h[1]
+
+
+def test_grouped_arange():
+    starts = np.array([3, 10, 0], dtype=np.int64)
+    sizes = np.array([2, 0, 3], dtype=np.int64)
+    assert grouped_arange(starts, sizes).tolist() == [3, 4, 0, 1, 2]
+    assert grouped_arange(np.empty(0, np.int64), np.empty(0, np.int64)).size == 0
+
+
+@pytest.mark.parametrize("d,p", [(2, 7), (2, 3), (3, 7)])
+def test_candidates_match_dict_resolver(d, p):
+    rng = random.Random(41)
+    words = _random_vocab(rng, 400)
+    qs = _queries(rng, words, 300)
+    idx = build_fuzzy_index(words, d, p)
+
+    # dict-based reference (the round-2 worker build)
+    idx1: dict = {}
+    for t in words:
+        idx1.setdefault(t, []).append(t)
+        for i in range(len(t)):
+            idx1.setdefault(t[:i] + t[i + 1 :], []).append(t)
+    deep: dict = {}
+    for t in words:
+        for k in delete_neighborhood_py(t, d, p):
+            deep.setdefault(k, []).append(t)
+
+    qlens = np.fromiter((len(q) for q in qs), dtype=np.int64, count=len(qs))
+    uqi, utid, bounds = idx.d1_groups(qs, qlens)
+    pair_qi, pair_tid = idx.deep_pairs(qs, qlens)
+
+    for qi, q in enumerate(qs):
+        want_d1 = {
+            t
+            for k in [q] + [q[:i] + q[i + 1 :] for i in range(len(q))]
+            for t in idx1.get(k, ())
+            if abs(len(t) - len(q)) <= 1
+        }
+        got_d1 = {idx.terms[t] for t in utid[bounds[qi] : bounds[qi + 1]]}
+        assert got_d1 == want_d1, q
+
+        want_deep = {
+            t
+            for k in delete_neighborhood_py(q, d, p)
+            for t in deep.get(k, ())
+            if abs(len(t) - len(q)) <= d
+        }
+        got_deep = {
+            idx.terms[t] for t in pair_tid[pair_qi == qi]
+        }
+        assert got_deep == want_deep, q
+
+
+def test_d1_groups_rank_order():
+    rng = random.Random(7)
+    words = _random_vocab(rng, 300)
+    qs = _queries(rng, words, 100)
+    idx = build_fuzzy_index(words, 1, 7)
+    assert idx.khd is None
+    qlens = np.fromiter((len(q) for q in qs), dtype=np.int64, count=len(qs))
+    _, utid, bounds = idx.d1_groups(qs, qlens)
+    for qi in range(len(qs)):
+        cand = [idx.terms[t] for t in utid[bounds[qi] : bounds[qi + 1]]]
+        assert cand == sorted(cand, key=lambda t: (-words[t], t))
+
+
+def test_nul_queries_not_conflated():
+    # numpy's fixed-width unicode would merge "ab\x00" with "ab" in a
+    # np.unique prefix pool; the dict pooling must keep them distinct
+    words = {"ab": 5, "a\x00b": 7, "abc": 9, "x": 1}
+    d, p = 2, 7
+    idx = build_fuzzy_index(words, d, p)
+    deep: dict = {}
+    for t in words:
+        for k in delete_neighborhood_py(t, d, p):
+            deep.setdefault(k, []).append(t)
+    qs = ["ab\x00", "\x00ab", "ab", "q", "abcd\x00xyz"]
+    qlens = np.fromiter((len(q) for q in qs), dtype=np.int64, count=len(qs))
+    pqi, ptid = idx.deep_pairs(qs, qlens)
+    for qi, q in enumerate(qs):
+        want = {
+            t
+            for k in delete_neighborhood_py(q, d, p)
+            for t in deep.get(k, ())
+            if abs(len(t) - len(q)) <= d
+        }
+        got = {idx.terms[t] for t in ptid[pqi == qi]}
+        assert got == want, q
+
+
+def test_short_query_empty_key():
+    # len(q) <= d adds the "" delete key: a 1-char query must reach
+    # every 1..(1+d)-char term whose neighborhood also contains ""
+    words = {"a": 10, "ab": 20, "abc": 30, "abcd": 40, "zz": 5}
+    d, p = 2, 7
+    idx = build_fuzzy_index(words, d, p)
+    qs = ["q"]
+    qlens = np.array([1], dtype=np.int64)
+    _, pair_tid = idx.deep_pairs(qs, qlens)
+    got = {idx.terms[t] for t in pair_tid}
+    # exactly the terms whose own neighborhood contains "" (len <= d)
+    assert got == {"a", "ab", "zz"}
