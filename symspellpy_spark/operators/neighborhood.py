@@ -36,11 +36,13 @@ import numpy as np
 
 __all__ = [
     "FuzzyIndex",
+    "TopResolver",
     "build_fuzzy_index",
     "delete_neighborhood_py",
     "fuzzy_index_broadcast",
     "grouped_arange",
     "pack_keys",
+    "within_one",
 ]
 
 _FNV_OFF = np.uint64(14695981039346656037)
@@ -270,6 +272,160 @@ def build_fuzzy_index(words: dict, d: int, p: int) -> FuzzyIndex:
         khd=khd,
         tidd=tidd,
     )
+
+
+def within_one(q: str, t: str, transpositions: bool) -> bool:
+    """Exact distance<=1 test without the DP kernel (both kernels agree
+    at d=1 except the adjacent-transposition case, gated on the
+    algorithm)."""
+    lq, lt = len(q), len(t)
+    if lq == lt:
+        i = 0
+        while i < lq and q[i] == t[i]:
+            i += 1
+        if q[i + 1 :] == t[i + 1 :]:
+            return True  # single substitution
+        return (
+            transpositions
+            and i + 1 < lq
+            and q[i] == t[i + 1]
+            and q[i + 1] == t[i]
+            and q[i + 2 :] == t[i + 2 :]
+        )
+    s, l = (q, t) if lq < lt else (t, q)
+    i = 0
+    ls = len(s)
+    while i < ls and s[i] == l[i]:
+        i += 1
+    return s[i:] == l[i + 1 :]
+
+
+_RESOLVER_CACHE_CAP = 4_000_000
+
+
+class TopResolver:
+    """Worker-side TOP lookup over a deserialized :class:`FuzzyIndex`.
+
+    ``get(q)`` returns the reference's ``lookup(q, TOP, d)`` winner as
+    ``(term, distance, count)`` or ``None`` — exact-hit short-circuit,
+    optional ignore-pattern injection (``(q, 0, 1)``), the
+    ``len(q) - d > max_len`` early exit, and the (distance ASC, count
+    DESC, term ASC) tie-break (reference symspellpy.py:358-637 TOP
+    semantics; shared by the fuzzy segmentation and compound kernels).
+
+    ``prepare(queries)`` resolves a whole batch in two vectorized
+    stages: a d<=1 pass over the full-single-delete index (any OSA-d1
+    pair shares a full single delete; candidates arrive pre-sorted by
+    (-count, term), so the first ``within_one`` survivor IS the TOP —
+    and at d>=2 it is still final, since any deep match carries
+    distance >= 2), then for d1 misses a deep prefix-neighborhood pass
+    with ONE distance-kernel call for all (query, candidate) pairs and
+    a lexsort argmin replaying the tie-break. Resolutions are cached
+    across calls (python workers are reused)."""
+
+    def __init__(self, index: FuzzyIndex, kernel, transpositions: bool,
+                 ign_pat=None):
+        import re
+
+        self.index = index
+        self.kernel = kernel
+        self.transpositions = transpositions
+        self.words = dict(zip(index.terms, index.counts.tolist()))
+        self.cache: dict = {}
+        self.ign = re.compile(f"^(?:{ign_pat})") if ign_pat is not None else None
+
+    def prepare(self, queries) -> None:
+        """Resolve every uncached query of ``queries`` into the cache."""
+        index = self.index
+        words = self.words
+        cache = self.cache
+        ign = self.ign
+        d = index.d
+        max_len = index.max_len
+        if len(cache) > _RESOLVER_CACHE_CAP:
+            cache.clear()
+        qlist: list = []
+        for q in queries:
+            if q in cache:
+                continue
+            c = words.get(q)
+            if c is not None:
+                cache[q] = (q, 0, c)
+            elif ign is not None and ign.match(q):
+                cache[q] = (q, 0, 1)
+            elif len(q) - d > max_len:
+                cache[q] = None
+            else:
+                qlist.append(q)
+        if qlist:
+            self._resolve_fuzzy(qlist)
+
+    def get(self, q):
+        """Cached TOP resolution; resolves synchronously on a miss."""
+        _MISSING = _SENTINEL
+        r = self.cache.get(q, _MISSING)
+        if r is _MISSING:
+            self.prepare((q,))
+            r = self.cache[q]
+        return r
+
+    def _resolve_fuzzy(self, qlist: list) -> None:
+        index = self.index
+        words = self.words
+        cache = self.cache
+        terms = index.terms
+        rank = index.rank
+        d = index.d
+        transpositions = self.transpositions
+        nq = len(qlist)
+        qlens = np.fromiter((len(q) for q in qlist), dtype=np.int64, count=nq)
+        _, utid, bounds = index.d1_groups(qlist, qlens)
+        miss: list = []
+        for qi in range(nq):
+            q = qlist[qi]
+            hit = None
+            for k in range(bounds[qi], bounds[qi + 1]):
+                t = terms[utid[k]]
+                if within_one(q, t, transpositions):
+                    hit = (t, 1, words[t])
+                    break
+            if hit is not None:
+                cache[q] = hit
+            elif d == 1:
+                cache[q] = None
+            else:
+                miss.append(qi)
+        if not miss:
+            return
+        mq = [qlist[i] for i in miss]
+        mlens = qlens[np.asarray(miss, dtype=np.int64)]
+        pair_mi, pair_tid = index.deep_pairs(mq, mlens)
+        if len(pair_mi) == 0:
+            for qi in miss:
+                cache[qlist[qi]] = None
+            return
+        import pandas as pd
+
+        pq = pd.Series([mq[i] for i in pair_mi], dtype=object)
+        pt = pd.Series([terms[i] for i in pair_tid], dtype=object)
+        dists = self.kernel(pq, pt, d).to_numpy()
+        ok = dists >= 0
+        fmi = pair_mi[ok]
+        ftid = pair_tid[ok]
+        fd = dists[ok].astype(np.int64)
+        order = np.lexsort((rank[ftid], fd, fmi))
+        fmi, ftid, fd = fmi[order], ftid[order], fd[order]
+        first = np.ones(len(fmi), dtype=bool)
+        first[1:] = fmi[1:] != fmi[:-1]
+        res: dict = {}
+        for i in np.flatnonzero(first):
+            t = terms[ftid[i]]
+            res[int(fmi[i])] = (t, int(fd[i]), words[t])
+        for mi, qi in enumerate(miss):
+            cache[qlist[qi]] = res.get(mi)
+
+
+_SENTINEL = object()
 
 
 # driver-side broadcast reuse: one index broadcast per

@@ -26,7 +26,10 @@ from pyspark.sql.types import StringType
 from symspellpy_spark.config import DistanceAlgorithm, Verbosity
 from symspellpy_spark.operators.dictionary import SparkDictionary
 from symspellpy_spark.operators.lookup import lookup_batch
-from symspellpy_spark.operators.neighborhood import fuzzy_index_broadcast
+from symspellpy_spark.operators.neighborhood import (
+    TopResolver,
+    fuzzy_index_broadcast,
+)
 
 __all__ = ["word_segmentation_batch", "nfkc_strip_hyphens_udf"]
 
@@ -498,10 +501,9 @@ def _segmentation_broadcast_d0(
 
 
 # per-python-worker state, keyed by the driver-generated broadcast
-# token: holds the deserialized FuzzyIndex, the words map derived from
-# it, and the cross-batch resolution cache — python workers are reused
+# token: holds the TopResolver (deserialized FuzzyIndex + words map +
+# cross-batch resolution cache) — python workers are reused
 _WORKER_LOOKUP_STATE: dict = {}
-_WORKER_CACHE_CAP = 4_000_000
 
 
 def _segmentation_broadcast_fuzzy(
@@ -563,109 +565,19 @@ def _segmentation_broadcast_fuzzy(
         import re
 
         key = (bc_token, d_, p_)
-        state = _WORKER_LOOKUP_STATE.get(key)
-        if state is None:
-            index = idx_bc.value
-            words = dict(zip(index.terms, index.counts.tolist()))
-            state = (index, words, {})
-            _WORKER_LOOKUP_STATE.clear()  # one dictionary per worker
-            _WORKER_LOOKUP_STATE[key] = state
-        index, words, cache = state
-        ign = re.compile(f"^(?:{ign_pat})") if ign_pat is not None else None
-        ws = re.compile(r"\s")
-        terms = index.terms
-        rank = index.rank
-
-        def within_one(q: str, t: str) -> bool:
-            """Exact distance<=1 test (both kernels agree at d=1 except
-            the transposition case, gated on the algorithm)."""
-            lq, lt = len(q), len(t)
-            if lq == lt:
-                i = 0
-                while i < lq and q[i] == t[i]:
-                    i += 1
-                if q[i + 1 :] == t[i + 1 :]:
-                    return True  # single substitution
-                return (
-                    transpositions
-                    and i + 1 < lq
-                    and q[i] == t[i + 1]
-                    and q[i + 1] == t[i]
-                    and q[i + 2 :] == t[i + 2 :]
-                )
-            s, l = (q, t) if lq < lt else (t, q)
-            i = 0
-            ls = len(s)
-            while i < ls and s[i] == l[i]:
-                i += 1
-            return s[i:] == l[i + 1 :]
-
-        def resolve_batch(qlist: list) -> None:
-            """Resolve uncached OOV queries (already past the exact /
-            ignore / length gates) into the cache, staged:
-
-            d<=1 pass — vectorized full-single-delete candidate gen
-            (any OSA-d1 pair shares a full single delete), candidates
-            pre-sorted by (-count, term), first ``within_one`` survivor
-            IS the TOP at distance 1 (q is OOV, so no distance-0 tie).
-            A hit at d>=2 is still final: any deep match carries
-            distance >= 2.
-
-            deep pass (d>=2, only for d1 misses) — vectorized
-            prefix-neighborhood candidate gen, ONE kernel call for all
-            (query, candidate) pairs of the batch, then a lexsort
-            argmin replays the (distance ASC, count DESC, term ASC)
-            tie-break."""
-            nq = len(qlist)
-            qlens = np.fromiter(
-                (len(q) for q in qlist), dtype=np.int64, count=nq
+        resolver = _WORKER_LOOKUP_STATE.get(key)
+        if resolver is None:
+            resolver = TopResolver(
+                idx_bc.value, kernel, transpositions, ign_pat=ign_pat
             )
-            _, utid, bounds = index.d1_groups(qlist, qlens)
-            miss: list = []
-            for qi in range(nq):
-                q = qlist[qi]
-                hit = None
-                for k in range(bounds[qi], bounds[qi + 1]):
-                    t = terms[utid[k]]
-                    if within_one(q, t):
-                        hit = (t, 1, words[t])
-                        break
-                if hit is not None:
-                    cache[q] = hit
-                elif d_ == 1:
-                    cache[q] = None
-                else:
-                    miss.append(qi)
-            if not miss:
-                return
-            mq = [qlist[i] for i in miss]
-            mlens = qlens[np.asarray(miss, dtype=np.int64)]
-            pair_mi, pair_tid = index.deep_pairs(mq, mlens)
-            if len(pair_mi) == 0:
-                for qi in miss:
-                    cache[qlist[qi]] = None
-                return
-            pq = pd.Series([mq[i] for i in pair_mi], dtype=object)
-            pt = pd.Series([terms[i] for i in pair_tid], dtype=object)
-            dists = kernel(pq, pt, d_).to_numpy()
-            ok = dists >= 0
-            fmi = pair_mi[ok]
-            ftid = pair_tid[ok]
-            fd = dists[ok].astype(np.int64)
-            order = np.lexsort((rank[ftid], fd, fmi))
-            fmi, ftid, fd = fmi[order], ftid[order], fd[order]
-            first = np.ones(len(fmi), dtype=bool)
-            first[1:] = fmi[1:] != fmi[:-1]
-            res: dict = {}
-            for i in np.flatnonzero(first):
-                t = terms[ftid[i]]
-                res[int(fmi[i])] = (t, int(fd[i]), words[t])
-            for mi, qi in enumerate(miss):
-                cache[qlist[qi]] = res.get(mi)
+            _WORKER_LOOKUP_STATE.clear()  # one dictionary per worker
+            _WORKER_LOOKUP_STATE[key] = resolver
+        ws = re.compile(r"\s")
 
         def prepare(phrases):
-            """Resolve every not-yet-cached distinct cell query of the
-            batch with one vectorized candidate-gen + kernel call."""
+            """Enumerate every distinct cell query of the batch (the
+            reference's space accounting, symspellpy.py:925-942) and
+            resolve them in one vectorized TopResolver pass."""
             todo = set()
             for phrase in phrases:
                 if not phrase:
@@ -677,47 +589,11 @@ def _segmentation_broadcast_fuzzy(
                         raw = phrase[j : j + i]
                         if ws.match(raw[:1]):
                             raw = raw[1:]
-                        q = raw.replace(" ", "").lower()
-                        if q not in cache:
-                            todo.add(q)
-            if not todo:
-                return
-            if len(cache) > _WORKER_CACHE_CAP:
-                cache.clear()
-            qlist: list = []
-            for q in todo:
-                c = words.get(q)
-                if c is not None:
-                    cache[q] = (q, 0, c)
-                elif ign is not None and ign.match(q):
-                    cache[q] = (q, 0, 1)
-                elif len(q) - d_ > dict_max_len:
-                    cache[q] = None
-                else:
-                    qlist.append(q)
-            if qlist:
-                resolve_batch(qlist)
+                        todo.add(raw.replace(" ", "").lower())
+            resolver.prepare(todo)
+            return None
 
-        _MISSING = object()
-
-        def resolve(q):
-            r = cache.get(q, _MISSING)
-            if r is _MISSING:
-                # enumeration drift safety net: resolve synchronously
-                c = words.get(q)
-                if c is not None:
-                    r = (q, 0, c)
-                elif ign is not None and ign.match(q):
-                    r = (q, 0, 1)
-                elif len(q) - d_ > dict_max_len:
-                    r = None
-                else:
-                    resolve_batch([q])
-                    r = cache[q]
-                cache[q] = r
-            return r
-
-        return prepare, resolve
+        return prepare, resolver.get
 
     return _run_doc_local_dp(
         docs, make_resolve, max_word_len, n_const, doc_col, text_col
