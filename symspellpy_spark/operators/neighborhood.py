@@ -43,6 +43,7 @@ __all__ = [
     "grouped_arange",
     "pack_keys",
     "within_one",
+    "worker_resolver",
 ]
 
 _FNV_OFF = np.uint64(14695981039346656037)
@@ -426,6 +427,34 @@ class TopResolver:
 
 
 _SENTINEL = object()
+
+
+# per-python-worker TopResolver cache, keyed by the driver-generated
+# broadcast token (not id(bc): CPython reuses addresses) — python
+# workers are reused, so the deserialized index, words map and
+# resolution cache persist across batches AND across operators
+# (segmentation, compound) sharing one dictionary/broadcast
+_WORKER_RESOLVERS: dict = {}
+
+
+def worker_resolver(idx_bc, token: str, kernel, transpositions: bool,
+                    ign_pat=None) -> TopResolver:
+    """Executor-side accessor for the shared per-worker TopResolver.
+
+    ``token`` comes from :func:`fuzzy_index_broadcast` and is unique per
+    (dictionary, d, p) build, so a worker never resolves against a stale
+    index; ``ign_pat`` is part of the key because it changes resolution
+    results. One dictionary's resolvers are kept at a time (the common
+    case is one dictionary per application)."""
+    key = (token, ign_pat)
+    resolver = _WORKER_RESOLVERS.get(key)
+    if resolver is None:
+        resolver = TopResolver(
+            idx_bc.value, kernel, transpositions, ign_pat=ign_pat
+        )
+        _WORKER_RESOLVERS.clear()  # one dictionary per worker
+        _WORKER_RESOLVERS[key] = resolver
+    return resolver
 
 
 # driver-side broadcast reuse: one index broadcast per

@@ -27,8 +27,8 @@ from symspellpy_spark.config import DistanceAlgorithm, Verbosity
 from symspellpy_spark.operators.dictionary import SparkDictionary
 from symspellpy_spark.operators.lookup import lookup_batch
 from symspellpy_spark.operators.neighborhood import (
-    TopResolver,
     fuzzy_index_broadcast,
+    worker_resolver,
 )
 
 __all__ = ["word_segmentation_batch", "nfkc_strip_hyphens_udf"]
@@ -500,12 +500,6 @@ def _segmentation_broadcast_d0(
     )
 
 
-# per-python-worker state, keyed by the driver-generated broadcast
-# token: holds the TopResolver (deserialized FuzzyIndex + words map +
-# cross-batch resolution cache) — python workers are reused
-_WORKER_LOOKUP_STATE: dict = {}
-
-
 def _segmentation_broadcast_fuzzy(
     docs: DataFrame,
     dictionary: SparkDictionary,
@@ -564,14 +558,9 @@ def _segmentation_broadcast_fuzzy(
     def make_resolve():
         import re
 
-        key = (bc_token, d_, p_)
-        resolver = _WORKER_LOOKUP_STATE.get(key)
-        if resolver is None:
-            resolver = TopResolver(
-                idx_bc.value, kernel, transpositions, ign_pat=ign_pat
-            )
-            _WORKER_LOOKUP_STATE.clear()  # one dictionary per worker
-            _WORKER_LOOKUP_STATE[key] = resolver
+        resolver = worker_resolver(
+            idx_bc, bc_token, kernel, transpositions, ign_pat=ign_pat
+        )
         ws = re.compile(r"\s")
 
         def prepare(phrases):

@@ -172,3 +172,103 @@ def test_repeated_compound_no_cache_accretion(spark, en_dict_uni):
         lookup_compound_batch(docs, en_dict_uni, max_edit_distance=2).collect()
     after = cache_mgr.cachedData().size()
     assert after <= mid, (before, mid, after)
+
+
+def test_strategies_agree(spark, en_dict_bi):
+    """The worker-local kernel (default) and the relational staged-lookup
+    path must be bit-identical — merge repairs, split repairs with and
+    without bigram boost, unknown tokens, numbers/acronyms, casing."""
+    texts = [
+        "whereis th elove hehad dated forImuch of thepast who "
+        "couqdn'tread in sixtgrade and ins pired him",
+        "in te dhe",
+        "can yu readthis messa ge despite thehorible sppelingmsitakes",
+        "the bigjest playrs in te strogsommer film slatew ith plety of funn",
+        "24th off december 123 NATO xyzzyqwertyuuu",
+        "a b",
+        "",
+        None,
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for kw in (
+        {},
+        {"ignore_non_words": True, "ignore_term_with_digits": True},
+        {"transfer_casing": True},
+    ):
+        fast = {
+            r["doc_id"]: (
+                r["term"],
+                r["distance"],
+                r["count"],
+                sorted((r["replacements"] or {}).items()),
+            )
+            for r in lookup_compound_batch(
+                docs, en_dict_bi, max_edit_distance=2, **kw
+            ).collect()
+        }
+        rel = {
+            r["doc_id"]: (
+                r["term"],
+                r["distance"],
+                r["count"],
+                sorted((r["replacements"] or {}).items()),
+            )
+            for r in lookup_compound_batch(
+                docs, en_dict_bi, max_edit_distance=2, strategy="relational", **kw
+            ).collect()
+        }
+        assert fast == rel, kw
+
+
+def test_strategies_agree_no_bigrams(spark, en_dict_uni):
+    """Without a bigram dictionary the Naive-Bayes split scoring clamps
+    to bigram_count_min — both strategies must take that branch alike."""
+    docs = spark.createDataFrame(
+        [(1, "whereis th elove"), (2, "couqdn'tread insixtgrade")],
+        "doc_id long, text string",
+    )
+    fast = {
+        r["doc_id"]: (r["term"], r["distance"], r["count"])
+        for r in lookup_compound_batch(
+            docs, en_dict_uni, max_edit_distance=2
+        ).collect()
+    }
+    rel = {
+        r["doc_id"]: (r["term"], r["distance"], r["count"])
+        for r in lookup_compound_batch(
+            docs, en_dict_uni, max_edit_distance=2, strategy="relational"
+        ).collect()
+    }
+    assert fast == rel
+
+
+def test_vocab_limit_routes_to_relational(spark):
+    """Above broadcast_vocab_limit the auto strategy must not collect the
+    vocabulary: the plan falls back to the relational join shape."""
+    from symspellpy_spark.operators.dictionary import SparkDictionary
+
+    words = spark.createDataFrame(
+        [("steam", 10), ("spark", 5), ("stream", 7)], "term string, count long"
+    )
+    d = SparkDictionary.from_words(spark, words)
+    docs = spark.createDataFrame([(1, "steem sparkk")], "doc_id long, text string")
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    fast_plan = plan(lookup_compound_batch(docs, d, max_edit_distance=1))
+    assert "MapInPandas" in fast_plan
+    assert "Join" not in fast_plan
+    rel_plan = plan(
+        lookup_compound_batch(
+            docs, d, max_edit_distance=1, broadcast_vocab_limit=2
+        )
+    )
+    assert "Join" in rel_plan
+    fast = lookup_compound_batch(docs, d, max_edit_distance=1).collect()
+    rel = lookup_compound_batch(
+        docs, d, max_edit_distance=1, broadcast_vocab_limit=2
+    ).collect()
+    assert [tuple(r) for r in fast] == [tuple(r) for r in rel]

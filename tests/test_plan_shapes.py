@@ -124,6 +124,29 @@ def test_fuzzy_segmentation_default_plan_is_join_free(spark):
     assert "Join" in rel_plan  # the fallback shape really is relational
 
 
+def test_compound_default_plan_is_join_free(spark):
+    """The worker-local lookup_compound kernel must plan no token
+    explode, no LUT joins and no per-document groupBy: one MapInPandas
+    over (doc_id, phrase, token arrays), at most a repartition."""
+    from symspellpy_spark.operators.compound import lookup_compound_batch
+
+    words = spark.createDataFrame(
+        [("steam", 10), ("spark", 5), ("stream", 7)], "term string, count long"
+    )
+    d = SparkDictionary.from_words(spark, words)
+    docs = spark.createDataFrame([(1, "steem sparkk")], "doc_id long, text string")
+    plan = _physical(lookup_compound_batch(docs, d, max_edit_distance=1))
+    assert "Join" not in plan, plan
+    assert "FlatMapGroupsInPandas" not in plan, plan
+    assert "MapInPandas" in plan, plan
+    rel_plan = _physical(
+        lookup_compound_batch(
+            docs, d, max_edit_distance=1, strategy="relational"
+        )
+    )
+    assert "Join" in rel_plan  # the fallback shape really is relational
+
+
 def test_winnowing_plans_no_join(spark):
     """Production winnowing must be the doc-local kernel: one
     MapInPandas, no explode/shuffle/sort (the relational window
