@@ -95,6 +95,13 @@ class DedupConfig:
     # shingle re-derive at verify, and winnowing — if enabled — its own
     # kernel pass). Only the common text_to_signatures path fuses; the
     # normalize_tokens path keeps the legacy per-source scans.
+    # Winnowing is deliberately NOT fused: its fingerprint density is
+    # 2/(winnow_window+1) per character — ~1.8-3.2 BYTES of int64
+    # fingerprints per text byte at the shipped configs — so carrying
+    # them on the signatures relation would make every signature
+    # checkpoint/localCheckpoint 2-3x wider than the text it summarizes
+    # to save one scan; the dedicated doc-local kernel pass is the
+    # cheaper shape at any scale where the checkpoint is ever written.
     fuse_candidates: bool = True
     normalize_tokens: bool = False
     normalize_min_count: int = 0  # only correct tokens rarer than this
