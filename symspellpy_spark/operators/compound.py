@@ -694,11 +694,14 @@ def _compound_broadcast(
             for doc_id, phrase, t1, t2 in doc_rows:
                 rows = []
                 if t1 is not None and len(t1) > 0:
-                    n1 = len(t1)
+                    # iterate the LOWERCASE tokenization only, like the
+                    # reference (symspellpy.py:688: enumerate(terms_1))
+                    # and the relational path (posexplode of terms1);
+                    # terms2 is indexed defensively — case-folding can in
+                    # principle change codepoint runs
                     n2 = len(t2) if t2 is not None else 0
                     prev = None
-                    for i in range(max(n1, n2)):
-                        term1 = t1[i] if i < n1 else None
+                    for i, term1 in enumerate(t1):
                         term2 = t2[i] if i < n2 else None
                         sugg = resolver.get(term1)
                         if sugg is not None:
