@@ -74,6 +74,89 @@ def run(cpus: int) -> dict:
     return json.loads(lines[-1])
 
 
+def git_head() -> str | None:
+    try:
+        out = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            stdout=subprocess.PIPE,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=10,
+        )
+        return out.stdout.strip() or None
+    except OSError:
+        return None
+
+
+def merge_previous(result: dict) -> dict:
+    """Best-of merge with an existing BENCH_SCALING.json of the same
+    configuration (the BASELINE.md noise protocol, applied ACROSS
+    invocations): this host shows minutes-long hypervisor stalls, so
+    per-level / per-stage / per-workload bests are accumulated over
+    every process rep ever run rather than overwritten by whichever
+    invocation ran last. Each merged entry is still one real measured
+    run at its level. SCALING_MERGE=0 disables (fresh file)."""
+    if os.environ.get("SCALING_MERGE", "1") == "0":
+        return result
+    try:
+        with open("BENCH_SCALING.json") as fh:
+            old = json.load(fh)
+    except (OSError, ValueError):
+        return result
+    if any(
+        old.get(k) != result[k]
+        for k in ("metric", "n_small", "n_big", "pipeline_docs")
+    ):
+        return result  # different configuration: no merge
+    if old.get("git_head") != result.get("git_head"):
+        # different code: merging per-workload bests would mix
+        # measurements of different engines — start fresh
+        return result
+    m = dict(result)
+    for side in ("small", "big"):
+        if old[f"docs_per_sec_{side}"] > m[f"docs_per_sec_{side}"]:
+            m[f"docs_per_sec_{side}"] = old[f"docs_per_sec_{side}"]
+            m[f"pipeline_sec_{side}"] = old[f"pipeline_sec_{side}"]
+            m[f"detail_{side}"] = old[f"detail_{side}"]
+        m[f"all_docs_per_sec_{side}"] = (
+            old[f"all_docs_per_sec_{side}"] + m[f"all_docs_per_sec_{side}"]
+        )
+    tp_s, tp_b = m["docs_per_sec_small"], m["docs_per_sec_big"]
+    m["value"] = round(tp_b / (4 * tp_s), 3)
+    m["speedup"] = round(tp_b / tp_s, 2)
+    for st, new_e in m["stage_efficiency"].items():
+        old_e = old.get("stage_efficiency", {}).get(st)
+        if old_e is None:
+            continue
+        ts = min(new_e["sec_small"], old_e["sec_small"])
+        tb = min(new_e["sec_big"], old_e["sec_big"])
+        m["stage_efficiency"][st] = {
+            "sec_small": ts,
+            "sec_big": tb,
+            "speedup": round(ts / tb, 2),
+            "efficiency": round(ts / (4 * tb), 3),
+        }
+    for k, new_w in m["workload_efficiency"].items():
+        old_w = old.get("workload_efficiency", {}).get(k)
+        if old_w is None:
+            continue
+        qs = max(new_w["small"], old_w["small"])
+        qb = max(new_w["big"], old_w["big"])
+        m["workload_efficiency"][k] = {
+            "small": qs,
+            "big": qb,
+            "efficiency": round(qb / (4 * qs), 3),
+        }
+    m["reps"] = old.get("reps", 0) + result["reps"]
+    m["note"] = (
+        f"best-of-{m['reps']} process-level repetitions accumulated across "
+        "scaling_bench invocations (per-level / per-stage / per-workload "
+        "bests per the BASELINE.md noise protocol; SCALING_MERGE=0 for a "
+        "fresh file)"
+    )
+    return m
+
+
 def main() -> None:
     reps = int(os.environ.get("SCALING_REPS", "2"))
     smalls, bigs = [], []
@@ -138,7 +221,9 @@ def main() -> None:
         "all_docs_per_sec_big": [r["docs_per_sec"] for r in bigs],
         "detail_small": small,
         "detail_big": big,
+        "git_head": git_head(),
     }
+    result = merge_previous(result)
     with open("BENCH_SCALING.json", "w") as fh:
         json.dump(result, fh, indent=2)
     print(json.dumps({k: v for k, v in result.items() if not k.startswith("detail")}))
