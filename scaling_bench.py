@@ -75,16 +75,35 @@ def run(cpus: int) -> dict:
 
 
 def git_head() -> str | None:
+    """HEAD sha, with ``-dirty`` appended when tracked files are
+    modified (BENCH_SCALING.json itself excluded — this script rewrites
+    it): two runs of different working trees must not merge."""
+    cwd = os.path.dirname(os.path.abspath(__file__))
     try:
         out = subprocess.run(
             ["git", "rev-parse", "HEAD"],
             stdout=subprocess.PIPE,
             text=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
+            cwd=cwd,
             timeout=10,
         )
-        return out.stdout.strip() or None
-    except OSError:
+        head = out.stdout.strip() or None
+        if head is None:
+            return None
+        st = subprocess.run(
+            ["git", "status", "--porcelain", "--untracked-files=no"],
+            stdout=subprocess.PIPE,
+            text=True,
+            cwd=cwd,
+            timeout=10,
+        )
+        dirty = [
+            l
+            for l in st.stdout.splitlines()
+            if l.strip() and not l.endswith("BENCH_SCALING.json")
+        ]
+        return head + "-dirty" if dirty else head
+    except (OSError, subprocess.SubprocessError):
         return None
 
 
@@ -113,6 +132,10 @@ def merge_previous(result: dict) -> dict:
         # measurements of different engines — start fresh
         return result
     m = dict(result)
+    # own the nested dicts: the per-entry merges below reassign inside
+    # them, and the caller's ``result`` must stay untouched
+    m["stage_efficiency"] = dict(result["stage_efficiency"])
+    m["workload_efficiency"] = dict(result["workload_efficiency"])
     for side in ("small", "big"):
         if old[f"docs_per_sec_{side}"] > m[f"docs_per_sec_{side}"]:
             m[f"docs_per_sec_{side}"] = old[f"docs_per_sec_{side}"]
@@ -124,9 +147,15 @@ def merge_previous(result: dict) -> dict:
     tp_s, tp_b = m["docs_per_sec_small"], m["docs_per_sec_big"]
     m["value"] = round(tp_b / (4 * tp_s), 3)
     m["speedup"] = round(tp_b / tp_s, 2)
-    for st, new_e in m["stage_efficiency"].items():
-        old_e = old.get("stage_efficiency", {}).get(st)
-        if old_e is None:
+    # iterate the UNION of keys: a pipeline-only rerun (empty workload
+    # dict, SCALING_PIPELINE_ONLY=1) must not erase accumulated
+    # full-run bests — entries present on only one side carry over
+    old_st = old.get("stage_efficiency", {})
+    for st in set(m["stage_efficiency"]) | set(old_st):
+        new_e = m["stage_efficiency"].get(st)
+        old_e = old_st.get(st)
+        if new_e is None or old_e is None:
+            m["stage_efficiency"][st] = new_e or old_e
             continue
         ts = min(new_e["sec_small"], old_e["sec_small"])
         tb = min(new_e["sec_big"], old_e["sec_big"])
@@ -136,9 +165,12 @@ def merge_previous(result: dict) -> dict:
             "speedup": round(ts / tb, 2),
             "efficiency": round(ts / (4 * tb), 3),
         }
-    for k, new_w in m["workload_efficiency"].items():
-        old_w = old.get("workload_efficiency", {}).get(k)
-        if old_w is None:
+    old_wl = old.get("workload_efficiency", {})
+    for k in set(m["workload_efficiency"]) | set(old_wl):
+        new_w = m["workload_efficiency"].get(k)
+        old_w = old_wl.get(k)
+        if new_w is None or old_w is None:
+            m["workload_efficiency"][k] = new_w or old_w
             continue
         qs = max(new_w["small"], old_w["small"])
         qb = max(new_w["big"], old_w["big"])

@@ -511,7 +511,9 @@ def _bigram_broadcast(spark, dictionary: SparkDictionary, limit: int):
     """
     if dictionary.bigrams is None:
         return None, True
-    key = id(dictionary)
+    # the limit is part of the key: a fits=False verdict probed at one
+    # limit must not answer for a caller that allows a larger one
+    key = (id(dictionary), limit)
     entry = _BIGRAM_CACHE.get(key)
     if entry is not None:
         ref, bc, fits = entry
@@ -571,10 +573,6 @@ def _compound_broadcast(
     the relational path's (Java and Python regex Unicode classes differ
     on edge characters).
     """
-    from symspellpy_spark.functions.distance import (
-        damerau_osa_batch,
-        levenshtein_batch,
-    )
     from symspellpy_spark.operators.neighborhood import (
         fuzzy_index_broadcast,
         worker_resolver,
@@ -639,7 +637,12 @@ def _compound_broadcast(
                     prev = t
             resolver.prepare(todo)
             # phase B: split halves for OOV len>1 tokens not yet cached
-            # (exact-match tokens never read splits: symspellpy.py:745-748)
+            # (exact-match tokens never read splits: symspellpy.py:745-748).
+            # Cap-clear BEFORE need_split is computed: clearing later
+            # would wipe entries this batch's phase D reads without
+            # re-resolving them (phase D has no miss fallback)
+            if len(split_cache) > _SPLIT_CACHE_CAP:
+                split_cache.clear()
             need_split = set()
             for _, _, t1, _ in doc_rows:
                 if t1 is None:
@@ -669,8 +672,6 @@ def _compound_broadcast(
                     pd.Series([c[3] for c in cand], dtype=object),
                     max_ed,
                 ).to_numpy()
-            if len(split_cache) > _SPLIT_CACHE_CAP:
-                split_cache.clear()
             for t in need_split:
                 split_cache[t] = []
             for k, (t, r1, r2, tmp) in enumerate(cand):

@@ -452,7 +452,13 @@ def worker_resolver(idx_bc, token: str, kernel, transpositions: bool,
         resolver = TopResolver(
             idx_bc.value, kernel, transpositions, ign_pat=ign_pat
         )
-        _WORKER_RESOLVERS.clear()  # one dictionary per worker
+        # one DICTIONARY per worker, not one resolver: evict only
+        # entries built from a different broadcast, so a job alternating
+        # operators with different ign_pat (segmentation sets one,
+        # compound does not) keeps both resolvers instead of rebuilding
+        # the index and discarding the resolution cache every stage
+        for k in [k for k in _WORKER_RESOLVERS if k[0] != token]:
+            del _WORKER_RESOLVERS[k]
         _WORKER_RESOLVERS[key] = resolver
     return resolver
 

@@ -153,8 +153,11 @@ def test_empty_and_trivial_docs(spark):
 
 
 def test_repeated_compound_no_cache_accretion(spark, en_dict_uni):
-    """lookup_compound_batch's shared LUT is generation-scoped: repeated
-    calls must not grow the CacheManager unboundedly."""
+    """The RELATIONAL path's shared LUT is generation-scoped: repeated
+    calls must not grow the CacheManager unboundedly. (Pinned to
+    strategy="relational": the default now routes this vocab to the
+    worker-local kernel, which persists nothing — the behavior under
+    test would silently stop executing.)"""
     from symspellpy_spark.operators.compound import lookup_compound_batch
 
     cache_mgr = spark._jsparkSession.sharedState().cacheManager()
@@ -164,12 +167,16 @@ def test_repeated_compound_no_cache_accretion(spark, en_dict_uni):
     )
     before = cache_mgr.cachedData().size()
     for _ in range(3):
-        lookup_compound_batch(docs, en_dict_uni, max_edit_distance=2).collect()
+        lookup_compound_batch(
+            docs, en_dict_uni, max_edit_distance=2, strategy="relational"
+        ).collect()
     mid = cache_mgr.cachedData().size()
     # each call may keep `keep` generations per scope (compound.lut and
     # the nested lookup_batch.near), but the count must not grow per call
     for _ in range(3):
-        lookup_compound_batch(docs, en_dict_uni, max_edit_distance=2).collect()
+        lookup_compound_batch(
+            docs, en_dict_uni, max_edit_distance=2, strategy="relational"
+        ).collect()
     after = cache_mgr.cachedData().size()
     assert after <= mid, (before, mid, after)
 

@@ -95,6 +95,22 @@ def test_no_merge_across_revisions_or_configs(sb):
     assert sb.merge_previous(new2) == new2  # different config: fresh file
 
 
+def test_pipeline_only_rerun_preserves_workload_bests(sb):
+    """A SCALING_PIPELINE_ONLY rerun (empty workload dict) must not
+    erase the accumulated full-run per-workload bests."""
+    old = _result(100.0, 300.0, 10.0, 4.0, 1000, 3000)
+    with open("BENCH_SCALING.json", "w") as fh:
+        json.dump(old, fh)
+    new = _result(120.0, 350.0, 9.0, 3.5, 1, 1)
+    new["workload_efficiency"] = {}
+    m = sb.merge_previous(new)
+    assert m["workload_efficiency"]["lookup_en_qps"]["small"] == 1000
+    assert m["workload_efficiency"]["lookup_en_qps"]["big"] == 3000
+    # and the input result was not mutated by the merge
+    assert new["workload_efficiency"] == {}
+    assert new["stage_efficiency"]["pipeline_signatures"]["sec_small"] == 9.0
+
+
 def test_no_previous_file_is_fresh(sb):
     new = _result(80.0, 360.0, 12.0, 3.0, 1200, 2500)
     assert sb.merge_previous(new) == new
