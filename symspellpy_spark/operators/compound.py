@@ -36,7 +36,6 @@ the relational staged-lookup shape below takes over automatically.
 from __future__ import annotations
 
 import re
-import weakref
 from typing import Any
 
 import pandas as pd
@@ -511,27 +510,28 @@ def _bigram_broadcast(spark, dictionary: SparkDictionary, limit: int):
     """
     if dictionary.bigrams is None:
         return None, True
+    from symspellpy_spark.operators.neighborhood import cached_driver_value
+
+    def build():
+        rows = (
+            dictionary.bigrams.select("bigram", "count")
+            .limit(limit + 1)
+            .collect()
+        )
+        if len(rows) > limit:
+            return None, False
+        return (
+            spark.sparkContext.broadcast(
+                {r["bigram"]: r["count"] for r in rows}
+            ),
+            True,
+        )
+
     # the limit is part of the key: a fits=False verdict probed at one
     # limit must not answer for a caller that allows a larger one
-    key = (id(dictionary), limit)
-    entry = _BIGRAM_CACHE.get(key)
-    if entry is not None:
-        ref, bc, fits = entry
-        if ref() is dictionary:
-            return bc, fits
-    rows = (
-        dictionary.bigrams.select("bigram", "count").limit(limit + 1).collect()
+    (bc, fits), _ = cached_driver_value(
+        _BIGRAM_CACHE, dictionary, (limit,), build
     )
-    if len(rows) > limit:
-        bc, fits = None, False
-    else:
-        bc = spark.sparkContext.broadcast(
-            {r["bigram"]: r["count"] for r in rows}
-        )
-        fits = True
-    if len(_BIGRAM_CACHE) > 8:
-        _BIGRAM_CACHE.clear()
-    _BIGRAM_CACHE[key] = (weakref.ref(dictionary), bc, fits)
     return bc, fits
 
 

@@ -64,23 +64,16 @@ def _words_broadcast(queries: DataFrame, dictionary: SparkDictionary):
     per-task objects whose CPython addresses are readily reused after
     GC — a later job with a different dictionary could silently hit a
     stale delete index."""
-    import uuid
-    import weakref
+    from symspellpy_spark.operators.neighborhood import cached_driver_value
 
-    entry = _BC_CACHE.get(id(dictionary))
-    if entry is not None:
-        ref, bc, token = entry
-        if ref() is dictionary:
-            return bc, token
-    words_map = {
-        r["term"]: r["count"]
-        for r in dictionary.words.select("term", "count").collect()
-    }
-    bc = queries.sparkSession.sparkContext.broadcast(words_map)
-    token = uuid.uuid4().hex
-    _BC_CACHE.clear()
-    _BC_CACHE[id(dictionary)] = (weakref.ref(dictionary), bc, token)
-    return bc, token
+    def build():
+        words_map = {
+            r["term"]: r["count"]
+            for r in dictionary.words.select("term", "count").collect()
+        }
+        return queries.sparkSession.sparkContext.broadcast(words_map)
+
+    return cached_driver_value(_BC_CACHE, dictionary, (), build)
 
 
 def lookup_batch_local(

@@ -463,9 +463,35 @@ def worker_resolver(idx_bc, token: str, kernel, transpositions: bool,
     return resolver
 
 
-# driver-side broadcast reuse: one index broadcast per
-# (SparkDictionary instance, d, p) — same weakref-validated pattern as
-# local_lookup._words_broadcast; tokens (not id(bc)) key worker state
+def cached_driver_value(cache: dict, owner, extra_key: tuple, build):
+    """Driver-side once-per-owner cache shared by every broadcast-reuse
+    site (the fuzzy index here, ``local_lookup``'s words map,
+    ``compound``'s bigram map): -> ``(value, token)`` keyed on
+    ``(id(owner), *extra_key)``, validated with a weakref so a new
+    object reusing a dead owner's address can never hit its entry.
+
+    ``build()`` runs once per live (owner, key). The token is a driver
+    uuid generated with the value — worker-side state must key on it,
+    NOT on ``id(broadcast)`` (Broadcast wrappers are per-task objects
+    whose CPython addresses are readily reused after GC)."""
+    import uuid
+    import weakref
+
+    key = (id(owner), *extra_key)
+    entry = cache.get(key)
+    if entry is not None:
+        ref, value, token = entry
+        if ref() is owner:
+            return value, token
+    value = build()
+    token = uuid.uuid4().hex
+    if len(cache) > 8:
+        cache.clear()
+    cache[key] = (weakref.ref(owner), value, token)
+    return value, token
+
+
+# one index broadcast per (SparkDictionary instance, d, p)
 _IDX_CACHE: dict = {}
 
 
@@ -473,23 +499,12 @@ def fuzzy_index_broadcast(spark, dictionary, d: int, p: int):
     """-> ``(broadcast(FuzzyIndex), token)`` with driver-side caching,
     so repeated jobs over the same dictionary reuse one build + one
     broadcast (and workers keep their warm state + result caches)."""
-    import uuid
-    import weakref
 
-    cache_key = (id(dictionary), d, p)
-    entry = _IDX_CACHE.get(cache_key)
-    if entry is not None:
-        ref, bc, token = entry
-        if ref() is dictionary:
-            return bc, token
-    words = {
-        r["term"]: r["count"]
-        for r in dictionary.words.select("term", "count").collect()
-    }
-    index = build_fuzzy_index(words, d, p)
-    bc = spark.sparkContext.broadcast(index)
-    token = uuid.uuid4().hex
-    if len(_IDX_CACHE) > 8:
-        _IDX_CACHE.clear()
-    _IDX_CACHE[cache_key] = (weakref.ref(dictionary), bc, token)
-    return bc, token
+    def build():
+        words = {
+            r["term"]: r["count"]
+            for r in dictionary.words.select("term", "count").collect()
+        }
+        return spark.sparkContext.broadcast(build_fuzzy_index(words, d, p))
+
+    return cached_driver_value(_IDX_CACHE, dictionary, (d, p), build)
