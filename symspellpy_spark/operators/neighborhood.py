@@ -53,6 +53,63 @@ _FNV_PRIME = np.uint64(1099511628211)
 MAX_KEY_BYTES = 32
 
 
+def _fnv_rows(buf: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """FNV-1a over zero-padded fixed-width byte rows (n, MAX_KEY_BYTES)
+    mixed as four uint64 words, length first — THE hash layout of this
+    module: every path that produces key hashes (string path, vectorized
+    ASCII path, vectorized delete path) must funnel through this exact
+    mix or equal keys stop hashing equal."""
+    words = np.ascontiguousarray(buf).view(np.uint64)
+    with np.errstate(over="ignore"):
+        h = np.full(buf.shape[0], _FNV_OFF, dtype=np.uint64)
+        h = (h ^ lens.astype(np.uint64)) * _FNV_PRIME
+        for j in range(words.shape[1]):
+            h = (h ^ words[:, j]) * _FNV_PRIME
+    return h
+
+
+def _encode_rows_py(keys) -> tuple[np.ndarray, np.ndarray]:
+    """Per-key utf-8 encode into the padded row layout (the generic
+    path: any codepoint, any length; truncates at MAX_KEY_BYTES)."""
+    n = len(keys)
+    enc = [k.encode("utf-8")[:MAX_KEY_BYTES] for k in keys]
+    lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=n)
+    buf = np.zeros((n, MAX_KEY_BYTES), dtype=np.uint8)
+    arr = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    mask = np.arange(MAX_KEY_BYTES)[None, :] < lens[:, None]
+    buf[mask] = arr
+    return buf, lens
+
+
+def encode_key_rows(keys, klens: np.ndarray | None = None):
+    """-> ``(buf (n, MAX_KEY_BYTES) uint8 zero-padded, lens int64)`` for
+    a batch of keys, matching ``_encode_rows_py`` byte-for-byte.
+
+    Fast path: keys that are pure-ASCII and <= MAX_KEY_BYTES chars bulk-
+    convert through numpy's fixed-width unicode dtype (one C-level
+    codepoint matrix instead of n Python ``str.encode`` calls — for
+    ASCII, codepoint == utf-8 byte and char length == byte length, so
+    the padded rows are identical). Rows failing either condition are
+    re-encoded by the generic path and overwritten in place; interior
+    NULs are preserved by both paths (numpy trims only trailing NULs,
+    and the length is real so "a" and "a\\x00" still cannot collide).
+    """
+    n = len(keys)
+    arr = np.array(keys, dtype=f"U{MAX_KEY_BYTES}")  # silently truncates
+    u32 = arr.view(np.uint32).reshape(n, MAX_KEY_BYTES)
+    if klens is None:
+        klens = np.fromiter((len(k) for k in keys), dtype=np.int64, count=n)
+    ok = (klens <= MAX_KEY_BYTES) & (u32 < 128).all(axis=1)
+    buf = u32.astype(np.uint8)
+    lens = np.minimum(klens, MAX_KEY_BYTES)
+    if not ok.all():
+        bad = np.flatnonzero(~ok)
+        bbuf, blens = _encode_rows_py([keys[i] for i in bad])
+        buf[bad] = bbuf
+        lens[bad] = blens
+    return buf, lens
+
+
 def pack_keys(keys) -> np.ndarray:
     """Vectorized FNV-1a of utf-8 keys -> uint64, batch-independent.
 
@@ -65,19 +122,8 @@ def pack_keys(keys) -> np.ndarray:
     n = len(keys)
     if n == 0:
         return np.empty(0, dtype=np.uint64)
-    enc = [k.encode("utf-8")[:MAX_KEY_BYTES] for k in keys]
-    lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=n)
-    buf = np.zeros((n, MAX_KEY_BYTES), dtype=np.uint8)
-    arr = np.frombuffer(b"".join(enc), dtype=np.uint8)
-    mask = np.arange(MAX_KEY_BYTES)[None, :] < lens[:, None]
-    buf[mask] = arr
-    words = buf.view(np.uint64)
-    with np.errstate(over="ignore"):
-        h = np.full(n, _FNV_OFF, dtype=np.uint64)
-        h = (h ^ lens.astype(np.uint64)) * _FNV_PRIME
-        for j in range(words.shape[1]):
-            h = (h ^ words[:, j]) * _FNV_PRIME
-    return h
+    buf, lens = encode_key_rows(list(keys))
+    return _fnv_rows(buf, lens)
 
 
 def grouped_arange(starts: np.ndarray, sizes: np.ndarray) -> np.ndarray:
@@ -143,17 +189,61 @@ class FuzzyIndex:
         -> ``(uqi, utid, bounds)``: pairs sorted by (query, rank) with
         ``bounds[i]:bounds[i+1]`` slicing query i's candidates in
         (-count, term) order, length-filtered to ``|len(t)-len(q)|<=1``.
+
+        The query + single-delete key hashes are computed WITHOUT
+        materializing delete strings: queries bulk-encode into the
+        padded byte-row layout (``encode_key_rows``), each delete row is
+        a vectorized one-byte-removed gather of its query's row, and
+        both hash through the shared ``_fnv_rows`` mix — bit-identical
+        to hashing the delete *strings* for ASCII keys <= MAX_KEY_BYTES
+        (for those, truncate-then-delete == delete-then-truncate; longer
+        or non-ASCII queries keep the string path).
         """
         nq = len(qlist)
+        buf, lens = encode_key_rows(qlist, qlens)
+        vec = (qlens <= MAX_KEY_BYTES) & (lens == qlens)
+        # lens == qlens filters non-ASCII rows (utf-8 bytes > chars);
+        # an ASCII row always has byte length == char length
+        if vec.all():
+            vrows = np.arange(nq, dtype=np.int64)
+        else:
+            vrows = np.flatnonzero(vec)
+        # self keys: every query, both paths (the encode already did
+        # the work); delete keys: vectorized for vec rows
+        self_h = _fnv_rows(buf, lens)
+        vlens = lens[vrows]
+        n_del = int(vlens.sum())
+        row_of = np.repeat(vrows, vlens)
+        del_pos = grouped_arange(np.zeros(len(vrows), dtype=np.int64), vlens)
+        # gather columns j < del_pos from j, j >= del_pos from j+1
+        # (an extra zero column feeds the shifted tail's last byte);
+        # chunked so the transient per-chunk index/byte matrices stay
+        # cache-resident instead of materializing n_del x 32 at once
+        buf_ext = np.zeros((nq, MAX_KEY_BYTES + 1), dtype=np.uint8)
+        buf_ext[:, :MAX_KEY_BYTES] = buf
+        cols = np.arange(MAX_KEY_BYTES, dtype=np.int8)[None, :]
+        del_h = np.empty(n_del, dtype=np.uint64)
+        chunk = 1 << 18
+        for s in range(0, n_del, chunk):
+            e = min(s + chunk, n_del)
+            idx = cols + (cols >= del_pos[s:e, None]).astype(np.int8)
+            del_buf = buf_ext[row_of[s:e, None], idx]
+            del_h[s:e] = _fnv_rows(del_buf, lens[row_of[s:e]] - 1)
         keys = []
         kq = []
-        for qi, q in enumerate(qlist):
-            keys.append(q)
-            kq.append(qi)
+        for qi in np.flatnonzero(~vec):
+            q = qlist[qi]
             for i in range(len(q)):
                 keys.append(q[:i] + q[i + 1 :])
                 kq.append(qi)
-        kh = pack_keys(keys)
+        kh = np.concatenate([self_h, del_h, pack_keys(keys)])
+        kq = np.concatenate(
+            [
+                np.arange(nq, dtype=np.int64),
+                row_of,
+                np.asarray(kq, dtype=np.int64),
+            ]
+        )
         lo = np.searchsorted(self.kh1, kh, side="left")
         hi = np.searchsorted(self.kh1, kh, side="right")
         cnt = hi - lo

@@ -83,6 +83,73 @@ class TestPackKeys:
         h = pack_keys(["a", "a\x00"])
         assert h[0] != h[1]
 
+    def test_vectorized_ascii_path_matches_generic_encode(self):
+        # the bulk U-dtype fast path of encode_key_rows must reproduce
+        # the per-key utf-8 path byte-for-byte on every edge: interior
+        # NUL, exactly-32, truncation >32, non-ASCII fallback, empty
+        from symspellpy_spark.operators.neighborhood import (
+            _encode_rows_py,
+            _fnv_rows,
+        )
+
+        keys = [
+            "",
+            "a",
+            "a\x00b",
+            "hello",
+            "x" * 32,
+            "y" * 33,
+            "z" * 100,
+            "héllo",
+            "日本語のテキスト",
+            "ß" * 40,
+            "mixed日本",
+            "don't",
+            "a b",
+        ] + ["w%04d" % i for i in range(200)]
+        buf, lens = _encode_rows_py(keys)
+        assert np.array_equal(pack_keys(keys), _fnv_rows(buf, lens))
+
+
+def test_d1_groups_vectorized_matches_string_hashing():
+    """The no-delete-strings d1 path (bulk encode + one-byte-removed
+    gather) must return exactly the candidates of hashing the delete
+    STRINGS, including >MAX_KEY_BYTES and non-ASCII queries (which take
+    the string fallback)."""
+    from symspellpy_spark.operators.neighborhood import (
+        _encode_rows_py,
+        _fnv_rows,
+        build_fuzzy_index,
+    )
+
+    rng = random.Random(11)
+    alpha = "abcdef"
+    terms = {
+        "".join(rng.choice(alpha) for _ in range(rng.randint(1, 6))): rng.randint(1, 100)
+        for _ in range(400)
+    }
+    terms["x" * 40] = 5
+    terms["héllo"] = 9
+    idx = build_fuzzy_index(terms, 2, 7)
+    queries = sorted(
+        {
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 7)))
+            for _ in range(250)
+        }
+    ) + ["x" * 39, "héllp", "", "a"]
+    qlens = np.fromiter((len(q) for q in queries), np.int64, count=len(queries))
+    uqi, utid, bounds = idx.d1_groups(queries, qlens)
+    for qi, q in enumerate(queries):
+        keys = [q] + [q[:i] + q[i + 1 :] for i in range(len(q))]
+        buf, lens = _encode_rows_py(keys)
+        cands = set()
+        for h in _fnv_rows(buf, lens):
+            lo = np.searchsorted(idx.kh1, h, "left")
+            hi = np.searchsorted(idx.kh1, h, "right")
+            cands.update(idx.tid1[lo:hi].tolist())
+        cands = {t for t in cands if abs(idx.tlens[t] - len(q)) <= 1}
+        assert set(utid[bounds[qi] : bounds[qi + 1]].tolist()) == cands, (qi, q)
+
 
 def test_grouped_arange():
     starts = np.array([3, 10, 0], dtype=np.int64)
