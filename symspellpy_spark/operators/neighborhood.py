@@ -176,10 +176,29 @@ class FuzzyIndex:
     d: int
     p: int
     max_len: int
-    kh1: np.ndarray  # uint64 sorted
-    tid1: np.ndarray  # int32
+    # unique-key CSR: kh1 holds each DISTINCT key hash once (sorted),
+    # off1[i]:off1[i+1] slices that key's term ids out of tid1 — one
+    # searchsorted over the deduplicated array replaces the twin
+    # left/right passes over the raw (hash, tid) rows
+    kh1: np.ndarray  # uint64 sorted unique
+    off1: np.ndarray  # int64, len(kh1)+1
+    tid1: np.ndarray  # int32, grouped by key
     khd: np.ndarray | None
+    offd: np.ndarray | None
     tidd: np.ndarray | None
+
+    def _csr_counts(self, kh_u, off, kh):
+        """-> (lo, cnt): tid slice starts/sizes for each probe hash
+        (cnt 0 when absent)."""
+        if kh_u.size == 0 or kh.size == 0:
+            z = np.zeros(kh.size, dtype=np.int64)
+            return z, z
+        pos = np.searchsorted(kh_u, kh)
+        pos_c = np.minimum(pos, kh_u.size - 1)
+        valid = kh_u[pos_c] == kh
+        lo = np.where(valid, off[pos_c], 0)
+        cnt = np.where(valid, off[pos_c + 1] - off[pos_c], 0)
+        return lo, cnt
 
     # ---------------- query-side candidate generation ----------------
 
@@ -244,9 +263,7 @@ class FuzzyIndex:
                 np.asarray(kq, dtype=np.int64),
             ]
         )
-        lo = np.searchsorted(self.kh1, kh, side="left")
-        hi = np.searchsorted(self.kh1, kh, side="right")
-        cnt = hi - lo
+        lo, cnt = self._csr_counts(self.kh1, self.off1, kh)
         qi_rep = np.repeat(np.asarray(kq, dtype=np.int64), cnt)
         tid_rep = self.tid1[grouped_arange(lo, cnt)].astype(np.int64)
         keep = np.abs(self.tlens[tid_rep] - qlens[qi_rep]) <= 1
@@ -297,9 +314,7 @@ class FuzzyIndex:
             keys.extend(nb)
             kp.extend([pid] * len(nb))
         kh = pack_keys(keys)
-        lo = np.searchsorted(self.khd, kh, side="left")
-        hi = np.searchsorted(self.khd, kh, side="right")
-        cnt = hi - lo
+        lo, cnt = self._csr_counts(self.khd, self.offd, kh)
         pid_rep = np.repeat(np.asarray(kp, dtype=np.int64), cnt)
         ptid = self.tidd[grouped_arange(lo, cnt)].astype(np.int64)
         n_t = len(self.terms)
@@ -333,11 +348,9 @@ def build_fuzzy_index(words: dict, d: int, p: int) -> FuzzyIndex:
         for i in range(len(t)):
             k1.append(t[:i] + t[i + 1 :])
             t1.append(tid)
-    kh1 = pack_keys(k1)
-    tid1 = np.asarray(t1, dtype=np.int32)
-    o1 = np.argsort(kh1, kind="stable")
+    kh1_u, off1, tid1 = _csr_build(pack_keys(k1), np.asarray(t1, np.int32))
 
-    khd = tidd = None
+    khd = offd = tidd = None
     if d >= 2:
         kd = []
         td = []
@@ -345,10 +358,7 @@ def build_fuzzy_index(words: dict, d: int, p: int) -> FuzzyIndex:
             for k in delete_neighborhood_py(t, d, p):
                 kd.append(k)
                 td.append(tid)
-        khd_raw = pack_keys(kd)
-        tidd_raw = np.asarray(td, dtype=np.int32)
-        od = np.argsort(khd_raw, kind="stable")
-        khd, tidd = khd_raw[od], tidd_raw[od]
+        khd, offd, tidd = _csr_build(pack_keys(kd), np.asarray(td, np.int32))
 
     return FuzzyIndex(
         terms=terms,
@@ -358,11 +368,27 @@ def build_fuzzy_index(words: dict, d: int, p: int) -> FuzzyIndex:
         d=d,
         p=p,
         max_len=int(tlens.max()) if n_t else 0,
-        kh1=kh1[o1],
-        tid1=tid1[o1],
+        kh1=kh1_u,
+        off1=off1,
+        tid1=tid1,
         khd=khd,
+        offd=offd,
         tidd=tidd,
     )
+
+
+def _csr_build(kh_raw: np.ndarray, tid_raw: np.ndarray):
+    """(raw key hashes, aligned tids) -> ``(unique sorted hashes,
+    offsets len+1, tids grouped by key)``."""
+    o = np.argsort(kh_raw, kind="stable")
+    kh_s, tid_s = kh_raw[o], tid_raw[o]
+    if kh_s.size == 0:
+        return kh_s, np.zeros(1, dtype=np.int64), tid_s
+    new = np.empty(kh_s.size, dtype=bool)
+    new[0] = True
+    np.not_equal(kh_s[1:], kh_s[:-1], out=new[1:])
+    off = np.append(np.flatnonzero(new), kh_s.size).astype(np.int64)
+    return kh_s[new], off, tid_s
 
 
 def within_one(q: str, t: str, transpositions: bool) -> bool:

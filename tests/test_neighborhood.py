@@ -139,14 +139,22 @@ def test_d1_groups_vectorized_matches_string_hashing():
     ) + ["x" * 39, "héllp", "", "a"]
     qlens = np.fromiter((len(q) for q in queries), np.int64, count=len(queries))
     uqi, utid, bounds = idx.d1_groups(queries, qlens)
+    # expected side: an independent pure-python string index over the
+    # TRUNCATED keys (pack_keys hashes at most MAX_KEY_BYTES bytes, so
+    # sharing a 32-byte key prefix is the module's candidate relation)
+    from symspellpy_spark.operators.neighborhood import MAX_KEY_BYTES
+
+    def kb(s):
+        return s.encode("utf-8")[:MAX_KEY_BYTES]
+
+    key_to_tids: dict = {}
+    for tid, t in enumerate(idx.terms):
+        for k in {kb(t)} | {kb(t[:i] + t[i + 1 :]) for i in range(len(t))}:
+            key_to_tids.setdefault(k, set()).add(tid)
     for qi, q in enumerate(queries):
-        keys = [q] + [q[:i] + q[i + 1 :] for i in range(len(q))]
-        buf, lens = _encode_rows_py(keys)
         cands = set()
-        for h in _fnv_rows(buf, lens):
-            lo = np.searchsorted(idx.kh1, h, "left")
-            hi = np.searchsorted(idx.kh1, h, "right")
-            cands.update(idx.tid1[lo:hi].tolist())
+        for k in {kb(q)} | {kb(q[:i] + q[i + 1 :]) for i in range(len(q))}:
+            cands |= key_to_tids.get(k, set())
         cands = {t for t in cands if abs(idx.tlens[t] - len(q)) <= 1}
         assert set(utid[bounds[qi] : bounds[qi + 1]].tolist()) == cands, (qi, q)
 
