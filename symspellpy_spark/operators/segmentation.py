@@ -338,6 +338,17 @@ def _segment_phrase(
     ws = _WS_RE
     punct = _PUNCT
     n_j = len(phrase)
+    # ASCII whitespace-free fast path (the overwhelming cell shape for
+    # glued web tokens): every cell then has lead=False, separator_len=1,
+    # spaces_removed=0, part == raw slice and query == lower slice, so
+    # the per-cell match/replace/lower collapses to two slices of
+    # precomputed strings. Restricted to ASCII because str.lower() is
+    # only context-free and length-preserving there (final sigma,
+    # İ -> i+combining-dot would misalign the precomputed lower).
+    if phrase.isascii() and ws.search(phrase) is None:
+        return _segment_phrase_ascii(
+            phrase, resolve, max_word_len, n_const, log10_n
+        )
     array_size = min(max_word_len, n_j)
     comps = [("", "", 0, 0.0)] * array_size
     idx = -1
@@ -394,6 +405,74 @@ def _segment_phrase(
                         comps[idx][1] + " " + top_result,
                         comps[idx][2] + separator_len + top_ed,
                         comps[idx][3] + top_log_prob,
+                    )
+        idx = (idx + 1) % array_size
+    return comps[idx]
+
+
+def _segment_phrase_ascii(
+    phrase: str,
+    resolve,
+    max_word_len: int,
+    n_const: float,
+    log10_n: float,
+) -> tuple[str, str, int, float]:
+    """ASCII whitespace-free specialization of :func:`_segment_phrase`
+    — decision-identical (the general loop with lead=False,
+    separator_len=1, spaces_removed=0 constant-folded and the previous
+    composition hoisted out of the inner loop)."""
+    punct = _PUNCT
+    low = phrase.lower()
+    n_j = len(phrase)
+    array_size = min(max_word_len, n_j)
+    comps = [("", "", 0, 0.0)] * array_size
+    idx = -1
+    for j in range(n_j):
+        imax = min(n_j - j, max_word_len)
+        prev = comps[idx] if j > 0 else None
+        upper_j = phrase[j] != low[j]
+        for i in range(1, imax + 1):
+            part = phrase[j : j + i]
+            res = resolve(low[j : j + i])
+            if res is not None:
+                s_term, s_dist, s_count = res
+                if upper_j:
+                    top_result = s_term[:1].upper() + s_term[1:].lower()
+                else:
+                    top_result = s_term
+                top_ed = s_dist
+                top_log_prob = math.log10(float(s_count) / n_const)
+            else:
+                top_result = part
+                top_ed = i
+                top_log_prob = 1.0 - log10_n - float(i)
+            dest = (i + idx) % array_size
+            if j == 0:
+                comps[dest] = (part, top_result, top_ed, top_log_prob)
+            elif (
+                i == max_word_len
+                or (
+                    comps[dest][2]
+                    in (prev[2] + top_ed, prev[2] + 1 + top_ed)
+                    and comps[dest][3] < prev[3] + top_log_prob
+                )
+                or prev[2] + 1 + top_ed < comps[dest][2]
+            ):
+                if (len(top_result) == 1 and top_result[0] in punct) or (
+                    len(top_result) == 2 and top_result.startswith("'")
+                ):
+                    comps[dest] = (
+                        prev[0] + part,
+                        prev[1] + top_result,
+                        prev[2] + top_ed,
+                        prev[3] + top_log_prob,
+                    )
+                else:
+                    comps[dest] = (
+                        prev[0] + " " + part,
+                        prev[1] + " " + top_result,
+                        prev[2] + 1 + top_ed,
+                        prev[3] + top_log_prob,
                     )
         idx = (idx + 1) % array_size
     return comps[idx]
@@ -568,10 +647,20 @@ def _segmentation_broadcast_fuzzy(
             reference's space accounting, symspellpy.py:925-942) and
             resolve them in one vectorized TopResolver pass."""
             todo = set()
+            add = todo.add
             for phrase in phrases:
                 if not phrase:
                     continue
                 n_j = len(phrase)
+                if phrase.isascii() and ws.search(phrase) is None:
+                    # cell queries are plain slices of the lowered
+                    # phrase (same guard as _segment_phrase_ascii)
+                    low = phrase.lower()
+                    for j in range(n_j):
+                        imax = min(n_j - j, max_word_len) + j + 1
+                        for e in range(j + 1, imax):
+                            add(low[j:e])
+                    continue
                 for j in range(n_j):
                     imax = min(n_j - j, max_word_len)
                     for i in range(1, imax + 1):
