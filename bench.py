@@ -202,7 +202,15 @@ def main() -> None:
 
         # lookup_compound over 20k web-text-like docs (8 tokens, 1-in-8
         # misspelled; reference anchor: 9.89 ms per 97-char sentence,
-        # i.e. ~101 docs/sec single-threaded)
+        # i.e. ~101 docs/sec single-threaded).
+        # BENCH_EN_SCALE multiplies the compound/segmentation doc counts
+        # (same 8-token doc shape, more docs): the per-doc kernels got
+        # fast enough that the default sizes finish in ~2 s, where
+        # fixed job overhead — not throughput — dominates a scaling
+        # comparison; scaling_bench raises it so each level runs
+        # long enough to measure sustained docs/sec
+        en_scale = int(os.environ.get("BENCH_EN_SCALE", "1"))
+        timings["en_scale"] = en_scale
         from symspellpy_spark.operators.compound import lookup_compound_batch
 
         pool = (
@@ -212,7 +220,7 @@ def main() -> None:
             .withColumn("rn", F.monotonically_increasing_id())
         )
         ctoks = pool.crossJoin(
-            spark.range(10).withColumnRenamed("id", "rep")
+            spark.range(10 * en_scale).withColumnRenamed("id", "rep")
         ).select(
             F.when(
                 (F.col("rn") + F.col("rep")) % 8 == 0,
@@ -223,7 +231,8 @@ def main() -> None:
             )
             .otherwise(F.col("term"))
             .alias("w"),
-            ((F.col("rn") * 10 + F.col("rep")) % 20000)
+            ((F.col("rn") * (10 * en_scale) + F.col("rep"))
+             % (20000 * en_scale))
             .cast("long")
             .alias("doc_id"),
         )
@@ -249,10 +258,13 @@ def main() -> None:
         )
 
         sdocs = (
-            pool.crossJoin(spark.range(10).withColumnRenamed("id", "rep"))
+            pool.crossJoin(
+                spark.range(10 * en_scale).withColumnRenamed("id", "rep")
+            )
             .select(
                 F.col("term").alias("w"),
-                ((F.col("rn") * 10 + F.col("rep")) % 20000)
+                ((F.col("rn") * (10 * en_scale) + F.col("rep"))
+                 % (20000 * en_scale))
                 .cast("long")
                 .alias("doc_id"),
             )
@@ -276,7 +288,9 @@ def main() -> None:
         # resolve worker-locally (full-single-delete candidate gen +
         # scan verify); the old relational cell-shuffle path remains
         # bench-able via strategy="relational"
-        sdocs_d1 = sdocs.where(F.col("doc_id") < 5000).localCheckpoint(eager=True)
+        sdocs_d1 = sdocs.where(
+            F.col("doc_id") < 5000 * en_scale
+        ).localCheckpoint(eager=True)
         n_s1 = sdocs_d1.count()
         timed(
             "segmentation_en_d1_batch",

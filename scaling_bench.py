@@ -54,6 +54,11 @@ def run(cpus: int) -> dict:
         SPARK_GRAFT_SF_DIR=SF_DIR,
         BENCH_PIPELINE_DOCS=str(DOCS),
         BENCH_REPS=BENCH_REPS,
+        # scale the EN compute workloads so each level runs tens of
+        # seconds of sustained work: at the default sizes the kernels
+        # finish in ~2 s and fixed job overhead — not throughput —
+        # dominates the 4-vs-16 comparison
+        BENCH_EN_SCALE=os.environ.get("SCALING_EN_SCALE", "6"),
         SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "40g"),
     )
     proc = subprocess.run(
@@ -75,13 +80,17 @@ def run(cpus: int) -> dict:
 
 
 def git_head() -> str | None:
-    """HEAD sha, with ``-dirty`` appended when tracked files are
-    modified (BENCH_SCALING.json itself excluded — this script rewrites
-    it): two runs of different working trees must not merge."""
+    """The ENGINE tree hash (``git rev-parse HEAD:symspellpy_spark``),
+    with ``-dirty`` appended when tracked files under the package are
+    modified: two runs merge only when they measured the same engine
+    code. Commit-level hashing would orphan accumulated measurements on
+    every docs/bench-tooling commit; workload-shape changes in bench.py
+    are fine to merge across because every merged figure is a RATE and
+    the merge takes per-entry bests."""
     cwd = os.path.dirname(os.path.abspath(__file__))
     try:
         out = subprocess.run(
-            ["git", "rev-parse", "HEAD"],
+            ["git", "rev-parse", "HEAD:symspellpy_spark"],
             stdout=subprocess.PIPE,
             text=True,
             cwd=cwd,
@@ -91,17 +100,14 @@ def git_head() -> str | None:
         if head is None:
             return None
         st = subprocess.run(
-            ["git", "status", "--porcelain", "--untracked-files=no"],
+            ["git", "status", "--porcelain", "--untracked-files=no",
+             "--", "symspellpy_spark"],
             stdout=subprocess.PIPE,
             text=True,
             cwd=cwd,
             timeout=10,
         )
-        dirty = [
-            l
-            for l in st.stdout.splitlines()
-            if l.strip() and not l.endswith("BENCH_SCALING.json")
-        ]
+        dirty = any(l.strip() for l in st.stdout.splitlines())
         return head + "-dirty" if dirty else head
     except (OSError, subprocess.SubprocessError):
         return None
