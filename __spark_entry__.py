@@ -392,6 +392,44 @@ def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
 
 
+_SEMDEDUP_T = 0.4  # within-list cos values sit >=5e-4 from this at sf<=0.01
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, SemDeDup-shaped (operators/knn.py): IVF-cluster
+    the embeddings (same deterministic quantizer fit as
+    ``ivf_cosine_topk``), drop every vector with a within-list neighbor
+    at cos >= threshold and a smaller id. The oracle refits identical
+    centroids, embeds them as literals, and replays assignment, the
+    within-list pair join and the threshold in SQL."""
+    from symspellpy_spark.operators.knn import semantic_dedup
+
+    emb = _read(spark, sf_dir, "embeddings")
+    sample = [
+        r["embedding"]
+        for r in emb.orderBy("vec_id").limit(_IVF_SAMPLE).collect()
+    ]
+    cents = _ivf_centroids_from(sample)
+    return semantic_dedup(emb, cents, threshold=_SEMDEDUP_T).select(
+        "vec_id",
+        "centroid_id",
+        F.col("kept").cast("int").alias("kept"),
+    )
+
+
+def q_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style repeated-segment boilerplate detection
+    (operators/dedup.py:boilerplate_segments) over the documents table:
+    aligned 8-token segments, boilerplate = appears in >= 2 distinct
+    docs; per-doc counts + ratio."""
+    from symspellpy_spark.operators.dedup import boilerplate_segments
+
+    docs = _read(spark, sf_dir, "documents")
+    return boilerplate_segments(
+        docs, seg_len=8, min_docs=2, token_re=TOKEN_RE
+    )
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: token counts + length ratios per document."""
     docs = _read(spark, sf_dir, "documents")
@@ -978,6 +1016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "ivf_cosine_topk": q_ivf_cosine_topk,
+        "semantic_dedup": q_semantic_dedup,
+        "boilerplate_segments": q_boilerplate_segments,
         "text_quality": q_text_quality,
         "langid": q_langid,
         "sessionize": q_sessionize,
@@ -1128,6 +1168,65 @@ def _ivf_cosine_topk_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
             PARTITION BY query_id ORDER BY cos DESC, neighbor_id
         ) AS rank FROM scored
     ) WHERE rank <= {_IVF_K}"""
+
+
+def _semantic_dedup_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Exact SQL replication of q_semantic_dedup: identical centroid
+    refit (numpy, vec_id-ordered sample) embedded as literals, list
+    assignment replayed as in the IVF oracle (normalization skipped —
+    it cannot change the argmax), then the within-list pair join, the
+    exact-cosine threshold and the min-id-survives rule."""
+    import duckdb
+
+    con = duckdb.connect()
+    sample = con.execute(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"ORDER BY vec_id LIMIT {_IVF_SAMPLE}"
+    ).fetchall()
+    cents = _ivf_centroids_from([r[0] for r in sample])
+    k, dim = cents.shape
+    lit = "[" + ",".join(repr(float(w)) for w in cents.reshape(-1)) + "]"
+    return f"""
+    WITH cent AS (
+        SELECT i // {dim} AS cid, i % {dim} AS d, flat[i + 1] AS w
+        FROM (SELECT {lit} AS flat), unnest(range(0, {k * dim})) AS t(i)
+    ),
+    sims AS (
+        SELECT v.vec_id, c.cid,
+               sum(CAST(v.embedding[c.d + 1] AS DOUBLE) * c.w) AS sim
+        FROM embeddings v, cent c GROUP BY v.vec_id, c.cid
+    ),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, cid
+            ) AS rn FROM sims
+        ) WHERE rn = 1
+    ),
+    cand AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM assign a JOIN assign b USING (cid)
+        WHERE a.vec_id < b.vec_id
+    ),
+    flatp AS (
+        SELECT cd.id_a, cd.id_b,
+               CAST(unnest(av.embedding) AS DOUBLE) AS x,
+               CAST(unnest(bv.embedding) AS DOUBLE) AS y
+        FROM cand cd
+        JOIN embeddings av ON av.vec_id = cd.id_a
+        JOIN embeddings bv ON bv.vec_id = cd.id_b
+    ),
+    scored AS (
+        SELECT id_a, id_b,
+               sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cos
+        FROM flatp GROUP BY id_a, id_b
+    ),
+    dropped AS (
+        SELECT DISTINCT id_b AS vec_id FROM scored WHERE cos >= {_SEMDEDUP_T}
+    )
+    SELECT a.vec_id, CAST(a.cid AS BIGINT) AS centroid_id,
+           CAST(d.vec_id IS NULL AS INT) AS kept
+    FROM assign a LEFT JOIN dropped d USING (vec_id)"""
 
 
 _XXP1 = 0x9E3779B185EBCA87
@@ -1546,6 +1645,34 @@ def oracle_sql() -> dict[str, str]:
     FROM sess GROUP BY user_id, session_idx""",
         "lsh_cosine_topk": _lsh_cosine_topk_oracle(),
         "ivf_cosine_topk": _ivf_cosine_topk_oracle(),
+        "semantic_dedup": _semantic_dedup_oracle(),
+        "boilerplate_segments": f"""
+    WITH tok AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS ts
+        FROM documents
+    ),
+    segs AS (
+        SELECT doc_id, array_to_string(ts[i*8+1 : i*8+8], ' ') AS seg
+        FROM (SELECT doc_id, ts, unnest(range(0, len(ts) // 8)) AS i
+              FROM tok WHERE len(ts) >= 8)
+    ),
+    dfreq AS (
+        SELECT seg, count(DISTINCT doc_id) AS seg_df FROM segs GROUP BY seg
+    ),
+    perdoc AS (
+        SELECT doc_id, count(*) AS n_segments,
+               CAST(sum(CASE WHEN seg_df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_boilerplate
+        FROM segs JOIN dfreq USING (seg) GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+           COALESCE(p.n_segments, 0) AS n_segments,
+           COALESCE(p.n_boilerplate, 0) AS n_boilerplate,
+           CASE WHEN COALESCE(p.n_segments, 0) = 0 THEN 0.0
+                ELSE CAST(p.n_boilerplate AS DOUBLE)
+                     / CAST(p.n_segments AS DOUBLE)
+           END AS boiler_ratio
+    FROM tok t LEFT JOIN perdoc p USING (doc_id)""",
         "embedding_dup_pairs": """
     WITH pairs AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS va, b.embedding AS vb

@@ -148,6 +148,14 @@ def main() -> None:
             "ivf_cosine_topk",
             lambda: E.q_ivf_cosine_topk(spark, sf_dir).count(),
         )
+        timed(
+            "semantic_dedup",
+            lambda: E.q_semantic_dedup(spark, sf_dir).count(),
+        )
+        timed(
+            "boilerplate_segments",
+            lambda: E.q_boilerplate_segments(spark, sf_dir).count(),
+        )
         timed("sessionize", lambda: E.q_sessionize(spark, sf_dir).count())
         timed("tpch_q1", lambda: E.q_tpch_q1(spark, sf_dir).count())
 

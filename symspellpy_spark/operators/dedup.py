@@ -48,6 +48,7 @@ __all__ = [
     "substring_pairs_from_grams",
     "exact_duplicates",
     "exact_duplicates_from_hash",
+    "boilerplate_segments",
     "jaccard_verify",
     "select_matches",
 ]
@@ -1621,6 +1622,93 @@ def exact_duplicates(
     return (
         h.join(groups.where(F.col("n_dups") > 1), "text_md5")
         .select("id", "group_id", "n_dups")
+    )
+
+
+def boilerplate_segments(
+    docs: DataFrame,
+    seg_len: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_re: str = "[a-z0-9]+",
+) -> DataFrame:
+    """Segment-level boilerplate detection (the CCNet/RefinedWeb
+    repeated-paragraph pass, on token windows since web-extracted text
+    here is newline-free): a document's tokens are cut into ALIGNED
+    ``seg_len``-token segments; a segment is boilerplate if it occurs
+    in >= ``min_docs`` DISTINCT documents (nav bars, footers, cookie
+    banners repeat verbatim across a site's pages).
+
+    -> one row per input document:
+    ``(id, n_tokens, n_segments, n_boilerplate, boiler_ratio)`` where
+    ``boiler_ratio = n_boilerplate / n_segments`` (0.0 for docs shorter
+    than one segment) — the per-document signal a training-data filter
+    thresholds on.
+
+    Scale shape: pure Catalyst — tokenize once, one explode bounded by
+    n_tokens/seg_len rows per doc, document frequencies via a single
+    hash aggregation over (segment, id) pre-distinct (map-side partial
+    combine), and the frequency table joined back on the segment key.
+    No UDF, no self-join, no per-doc state; the segment strings are
+    bounded at ``seg_len`` tokens so row width stays flat. At corpus
+    scale the join key can be ``xxhash64(segment)`` — kept as the raw
+    string here so the operator stays exactly SQL-replayable.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(token_re), 0
+        ).alias("ts"),
+    )
+    segs = (
+        toks.where(F.size("ts") >= seg_len)
+        .select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        (F.size("ts") / seg_len).cast("long") - 1,
+                    ),
+                    lambda i: F.concat_ws(
+                        " ", F.slice("ts", i * seg_len + 1, seg_len)
+                    ),
+                )
+            ).alias("seg"),
+        )
+    )
+    df_counts = (
+        segs.select("seg", "id")
+        .distinct()
+        .groupBy("seg")
+        .agg(F.count("*").alias("seg_df"))
+    )
+    per_doc = (
+        segs.join(df_counts, "seg")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(
+                (F.col("seg_df") >= min_docs).cast("long")
+            ).alias("n_boilerplate"),
+        )
+    )
+    return (
+        toks.select("id", F.size("ts").cast("long").alias("n_tokens"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
+            F.coalesce("n_boilerplate", F.lit(0)).alias("n_boilerplate"),
+            F.when(F.coalesce("n_segments", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.col("n_boilerplate").cast("double")
+                / F.col("n_segments").cast("double")
+            )
+            .alias("boiler_ratio"),
+        )
     )
 
 

@@ -31,6 +31,7 @@ __all__ = [
     "ivf_fit_centroids",
     "ivf_assign",
     "ivf_cosine_topk",
+    "semantic_dedup",
 ]
 
 
@@ -242,6 +243,65 @@ def ivf_assign(
         F.col(id_col),
         _to_double(F.col(vec_col)).alias("vec"),
         F.explode(_nearest(F.col(vec_col))).alias("centroid_id"),
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_list_size: int | None = None,
+) -> DataFrame:
+    """Semantic (embedding-space) deduplication, SemDeDup-shaped
+    (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus with the
+    IVF coarse quantizer (one list per vector), compare vectors only
+    WITHIN their list, and drop every vector that has a within-list
+    neighbor with cosine >= ``threshold`` and a smaller id — i.e. the
+    smallest id of each semantic-duplicate group survives
+    (deterministic, so reruns/retries keep the same corpus; the paper
+    keeps a random/centroid-distance representative, which is not
+    replayable).
+
+    -> ``(id_col, centroid_id, kept)`` — one row per input vector.
+
+    Scale shape: the pairwise compare is confined to a list (the same
+    bucket-join pattern as LSH candidate pairs — never an all-pairs
+    cross join); lists are the natural storage partitioning key, and a
+    degenerate hot list (a boilerplate embedding cluster) is bounded by
+    ``max_list_size``: lists larger than that only compare against
+    their ``max_list_size`` smallest ids, which still links every
+    member to the group minimum (kept-set unchanged for any group fully
+    inside one list) while capping the join at O(list * cap).
+    """
+    assigned = ivf_assign(corpus, centroids, 1, id_col, vec_col)
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col("vec").alias("va"), "centroid_id"
+    )
+    if max_list_size is not None:
+        w_cap = Window.partitionBy("centroid_id").orderBy("id_a")
+        a = (
+            a.withColumn("_rn", F.row_number().over(w_cap))
+            .where(F.col("_rn") <= max_list_size)
+            .drop("_rn")
+        )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col("vec").alias("vb"), "centroid_id"
+    )
+    dropped = (
+        a.join(b, "centroid_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(_cosine(F.col("va"), F.col("vb")) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.select(id_col, "centroid_id")
+        .join(dropped.withColumn("_dup", F.lit(True)), id_col, "left")
+        .select(
+            id_col, "centroid_id", F.col("_dup").isNull().alias("kept")
+        )
     )
 
 

@@ -131,6 +131,39 @@ def test_exact_duplicates(spark):
     assert got == {"u1": "u1", "u2": "u1", "u4": "u1"}
 
 
+def test_boilerplate_segments(spark):
+    """Hand-built corpus: an 8-token banner shared by two docs is
+    boilerplate; unique segments are not; a doc shorter than one
+    segment gets zeros; a segment repeated only WITHIN one doc does
+    not count as boilerplate (document frequency, not term frequency)."""
+    from symspellpy_spark.operators.dedup import boilerplate_segments
+
+    banner = "cookie notice please accept all cookies to continue"
+    uniq = lambda s, n: " ".join(f"{s}{i}" for i in range(n))  # noqa: E731
+    docs = spark.createDataFrame(
+        [
+            (1, banner + " " + uniq("a", 8)),        # banner + 1 unique seg
+            (2, banner + " " + uniq("b", 16)),       # banner + 2 unique segs
+            (3, uniq("c", 8) + " " + uniq("c", 8)),  # self-repeat, 1 doc
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_segments"], r["n_boilerplate"],
+            r["boiler_ratio"],
+        )
+        for r in boilerplate_segments(docs, seg_len=8, min_docs=2).collect()
+    }
+    assert got == {
+        1: (16, 2, 1, 0.5),
+        2: (24, 3, 1, 1.0 / 3.0),
+        3: (16, 2, 0, 0.0),
+        4: (2, 0, 0, 0.0),
+    }
+
+
 def test_connected_components_vs_bfs(spark):
     rng = np.random.default_rng(5)
     n = 300

@@ -82,6 +82,51 @@ def test_lsh_cosine_topk_smoke_random(spark, emb):
     assert all(1 <= r["rank"] <= 5 for r in got)
 
 
+def test_semantic_dedup_known_groups(spark):
+    """Synthetic embedding space with planted near-identical groups:
+    the min id of each group survives, everything else in the group is
+    dropped, and isolated vectors are kept."""
+    from symspellpy_spark.operators.knn import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((6, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    group_of = {}
+    for g in range(6):
+        for _ in range(3 if g < 3 else 1):  # 3 groups of 3 dups, 3 singles
+            v = base[g] + rng.standard_normal(16) * 1e-3
+            rows.append((vid, [float(x) for x in v]))
+            group_of[vid] = g
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = base.copy()  # perfect quantizer: one list per planted group
+    out = {
+        r["vec_id"]: (r["centroid_id"], r["kept"])
+        for r in semantic_dedup(df, cents, threshold=0.99).collect()
+    }
+    assert len(out) == vid
+    for v, (cid, kept) in out.items():
+        assert cid == group_of[v]
+        members = [u for u, g in group_of.items() if g == group_of[v]]
+        assert kept == (v == min(members)), (v, kept)
+
+
+def test_semantic_dedup_max_list_size_keeps_group_minimum(spark):
+    """Capping a hot list still links every member to the list minimum:
+    the kept set is unchanged when the whole group shares one list."""
+    from symspellpy_spark.operators.knn import semantic_dedup
+
+    v = [1.0] + [0.0] * 7
+    rows = [(i, v) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = np.eye(2, 8)
+    out = semantic_dedup(df, cents, threshold=0.9, max_list_size=3).collect()
+    kept = sorted(r["vec_id"] for r in out if r["kept"])
+    assert kept == [0]
+
+
 def test_media_metadata_and_features(spark):
     docs = spark.createDataFrame(
         [("u1", b"\x89PNG\r\n" + b"x" * 100), ("u2", None)],
