@@ -28,6 +28,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import ArrayType, LongType
 
+from symspellpy_spark.operators.scoped_cache import persist_scoped
+
 __all__ = [
     "winnowing_fingerprints",
     "winnowing_candidate_pairs",
@@ -1646,37 +1648,44 @@ def boilerplate_segments(
     than one segment) — the per-document signal a training-data filter
     thresholds on.
 
-    Scale shape: pure Catalyst — tokenize once, one explode bounded by
+    Scale shape: pure Catalyst — one explode bounded by
     n_tokens/seg_len rows per doc, document frequencies via a single
     hash aggregation over (segment, id) pre-distinct (map-side partial
     combine), and the frequency table joined back on the segment key.
     No UDF, no self-join, no per-doc state; the segment strings are
     bounded at ``seg_len`` tokens so row width stays flat. At corpus
     scale the join key can be ``xxhash64(segment)`` — kept as the raw
-    string here so the operator stays exactly SQL-replayable.
+    string here so the operator stays exactly SQL-replayable. The
+    segments relation feeds three consumers (a diamond: document
+    frequencies, per-doc counts, and the all-docs token counts), and
+    Spark does not reuse subplans, so it is generation-scope persisted —
+    the corpus text is tokenized ONCE, not three times.
     """
-    toks = docs.select(
-        F.col(id_col).alias("id"),
-        F.regexp_extract_all(
-            F.lower(F.col(text_col)), F.lit(token_re), 0
-        ).alias("ts"),
+    toks = persist_scoped(
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(token_re), 0
+            ).alias("ts"),
+        ).select("id", F.size("ts").cast("long").alias("n_tokens"), "ts"),
+        "boilerplate_segments.toks",
     )
-    segs = (
-        toks.where(F.size("ts") >= seg_len)
-        .select(
+    segs = persist_scoped(
+        toks.where(F.col("n_tokens") >= seg_len).select(
             "id",
             F.explode(
                 F.transform(
                     F.sequence(
                         F.lit(0),
-                        (F.size("ts") / seg_len).cast("long") - 1,
+                        (F.col("n_tokens") / seg_len).cast("long") - 1,
                     ),
                     lambda i: F.concat_ws(
                         " ", F.slice("ts", i * seg_len + 1, seg_len)
                     ),
                 )
             ).alias("seg"),
-        )
+        ),
+        "boilerplate_segments.segs",
     )
     df_counts = (
         segs.select("seg", "id")
@@ -1695,7 +1704,7 @@ def boilerplate_segments(
         )
     )
     return (
-        toks.select("id", F.size("ts").cast("long").alias("n_tokens"))
+        toks.select("id", "n_tokens")
         .join(per_doc, "id", "left")
         .select(
             F.col("id").alias(id_col),

@@ -104,6 +104,41 @@ def test_ann_plans_have_no_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
 
 
+def test_semantic_dedup_plan_no_cartesian(spark):
+    """semantic_dedup's pairwise compare must stay confined to the
+    centroid-list equi-join — a cartesian/nested-loop node means the
+    within-list pattern degenerated to all-pairs."""
+    import numpy as np
+
+    from symspellpy_spark.operators.knn import semantic_dedup
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = np.eye(8, 64)
+    plan = _physical(semantic_dedup(emb, cents, threshold=0.9))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_boilerplate_segments_plan_shape(spark):
+    """boilerplate_segments must plan no join wider than the segment
+    equi-join and no UDF: pure Catalyst (regexp/slice/explode +
+    hash aggregations), with map-side partial aggregation on the
+    document-frequency groupBy."""
+    from symspellpy_spark.operators.dedup import boilerplate_segments
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _physical(boilerplate_segments(docs))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan, plan
+    assert "partial_count" in plan, plan  # map-side combine on the DF agg
+    # the diamond's consumers (token counts, per-doc counts, document
+    # frequencies) must read the scoped-persisted relations, not
+    # re-tokenize the corpus per consumer (FileScans remaining in the
+    # plan string are the caches' lineage, executed once on first fill)
+    assert plan.count("InMemoryTableScan") >= 3, plan
+
+
 def test_fuzzy_segmentation_default_plan_is_join_free(spark):
     """The worker-local fuzzy path must not plan any join or
     per-substring relation: one MapInPandas over (doc_id, phrase) rows,
