@@ -268,14 +268,25 @@ def semantic_dedup(
 
     Scale shape: the pairwise compare is confined to a list (the same
     bucket-join pattern as LSH candidate pairs — never an all-pairs
-    cross join); lists are the natural storage partitioning key, and a
+    cross join); lists are the natural storage partitioning key. A
     degenerate hot list (a boilerplate embedding cluster) is bounded by
-    ``max_list_size``: lists larger than that only compare against
-    their ``max_list_size`` smallest ids, which still links every
-    member to the group minimum (kept-set unchanged for any group fully
-    inside one list) while capping the join at O(list * cap).
+    ``max_list_size``: members compare only against the list's
+    ``max_list_size`` smallest ids, capping the join at O(list * cap).
+    That is the same bounded-cost/recall trade as LSH's
+    ``max_bucket_size``: a near-duplicate of any of the cap's ids is
+    still dropped; a duplicate GROUP lying entirely beyond the cap can
+    survive — size the cap at the quantizer's expected list size (or
+    leave it None) when full within-list recall is required. The
+    assignment relation feeds three consumers (both join sides and the
+    kept-flag output), so it is persisted for the duration of the call —
+    the corpus is scanned and assigned once, not three times.
     """
-    assigned = ivf_assign(corpus, centroids, 1, id_col, vec_col)
+    from symspellpy_spark.operators.scoped_cache import persist_scoped
+
+    assigned = persist_scoped(
+        ivf_assign(corpus, centroids, 1, id_col, vec_col),
+        "semantic_dedup.assigned",
+    )
     a = assigned.select(
         F.col(id_col).alias("id_a"), F.col("vec").alias("va"), "centroid_id"
     )
