@@ -430,6 +430,23 @@ def q_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination check
+    (operators/dedup.py:ngram_contamination): documents from source
+    'src0' play the benchmark; every other document is scored by how
+    many of its sliding 8-token grams appear anywhere in the
+    benchmark."""
+    from symspellpy_spark.operators.dedup import ngram_contamination
+
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_contamination(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+        n=8,
+        token_re=TOKEN_RE,
+    )
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: token counts + length ratios per document."""
     docs = _read(spark, sf_dir, "documents")
@@ -1018,6 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cosine_topk": q_ivf_cosine_topk,
         "semantic_dedup": q_semantic_dedup,
         "boilerplate_segments": q_boilerplate_segments,
+        "ngram_contamination": q_ngram_contamination,
         "text_quality": q_text_quality,
         "langid": q_langid,
         "sessionize": q_sessionize,
@@ -1673,6 +1691,32 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(p.n_segments AS DOUBLE)
            END AS boiler_ratio
     FROM tok t LEFT JOIN perdoc p USING (doc_id)""",
+        "ngram_contamination": f"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               regexp_extract_all(lower(text), '{TOKEN_RE}') AS ts
+        FROM documents
+    ),
+    bg AS (
+        SELECT DISTINCT array_to_string(ts[i+1 : i+8], ' ') AS gram
+        FROM (SELECT ts, unnest(range(0, len(ts) - 7)) AS i
+              FROM tok WHERE source = 'src0' AND len(ts) >= 8)
+    ),
+    tg AS (
+        SELECT doc_id, array_to_string(ts[i+1 : i+8], ' ') AS gram
+        FROM (SELECT doc_id, ts, unnest(range(0, len(ts) - 7)) AS i
+              FROM tok WHERE source != 'src0' AND len(ts) >= 8)
+    ),
+    agg AS (
+        SELECT doc_id, count(*) AS n_grams,
+               CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_contaminated
+        FROM tg LEFT JOIN bg b USING (gram) GROUP BY doc_id
+    )
+    SELECT t.doc_id, COALESCE(a.n_grams, 0) AS n_grams,
+           COALESCE(a.n_contaminated, 0) AS n_contaminated
+    FROM (SELECT doc_id FROM documents WHERE source != 'src0') t
+    LEFT JOIN agg a USING (doc_id)""",
         "embedding_dup_pairs": """
     WITH pairs AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS va, b.embedding AS vb

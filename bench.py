@@ -156,6 +156,10 @@ def main() -> None:
             "boilerplate_segments",
             lambda: E.q_boilerplate_segments(spark, sf_dir).count(),
         )
+        timed(
+            "ngram_contamination",
+            lambda: E.q_ngram_contamination(spark, sf_dir).count(),
+        )
         timed("sessionize", lambda: E.q_sessionize(spark, sf_dir).count())
         timed("tpch_q1", lambda: E.q_tpch_q1(spark, sf_dir).count())
 

@@ -51,6 +51,7 @@ __all__ = [
     "exact_duplicates",
     "exact_duplicates_from_hash",
     "boilerplate_segments",
+    "ngram_contamination",
     "jaccard_verify",
     "select_matches",
 ]
@@ -1717,6 +1718,74 @@ def boilerplate_segments(
                 / F.col("n_segments").cast("double")
             )
             .alias("boiler_ratio"),
+        )
+    )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_re: str = "[a-z0-9]+",
+) -> DataFrame:
+    """Train/test contamination detection: for every training document,
+    count its sliding ``n``-token grams that also occur anywhere in the
+    ``benchmark`` corpus (the n-gram-overlap decontamination check run
+    before LLM training so eval benchmarks don't leak into the data).
+
+    -> one row per training document:
+    ``(id, n_grams, n_contaminated)`` — docs shorter than ``n`` tokens
+    get zeros; threshold ``n_contaminated > 0`` (or a ratio) to drop.
+
+    Scale shape: the benchmark gram set is DISTINCT and tiny relative
+    to the corpus (eval suites are MBs against TBs) so it broadcasts —
+    the training side never shuffles: tokenize, explode sliding
+    windows, broadcast-hash-join, aggregate map-side. Grams join as
+    raw strings here so the operator stays exactly SQL-replayable; at
+    corpus scale join on ``xxhash64(gram)`` instead to keep the
+    broadcast and shuffle rows at 8 bytes (a collision only ever adds
+    a false positive, the safe direction for decontamination).
+    """
+    tok = lambda df: df.select(  # noqa: E731
+        F.col(id_col).alias("id"),
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(token_re), 0
+        ).alias("ts"),
+    )
+    grams = lambda toks: toks.where(F.size("ts") >= n).select(  # noqa: E731
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ts") - n),
+                lambda i: F.concat_ws(" ", F.slice("ts", i + 1, n)),
+            )
+        ).alias("gram"),
+    )
+    bench_grams = grams(tok(benchmark)).select("gram").distinct()
+    hits = (
+        grams(tok(train))
+        .join(
+            F.broadcast(bench_grams.withColumn("_hit", F.lit(1))),
+            "gram",
+            "left",
+        )
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.col("_hit").isNotNull().cast("long")).alias(
+                "n_contaminated"
+            ),
+        )
+    )
+    return (
+        train.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
         )
     )
 

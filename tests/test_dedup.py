@@ -164,6 +164,32 @@ def test_boilerplate_segments(spark):
     }
 
 
+def test_ngram_contamination(spark):
+    """Planted leak: a training doc embedding a benchmark 8-gram at an
+    arbitrary offset is flagged with the exact overlap count; clean and
+    too-short docs get zeros."""
+    from symspellpy_spark.operators.dedup import ngram_contamination
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"  # 8 toks
+    uniq = lambda s, k: " ".join(f"{s}{i}" for i in range(k))  # noqa: E731
+    train = spark.createDataFrame(
+        [
+            # leak at offset 3: exactly one 8-gram matches
+            (1, uniq("x", 3) + " " + bench_text + " " + uniq("y", 3)),
+            (2, uniq("z", 12)),       # clean
+            (3, "short doc"),         # < 8 tokens
+            (4, bench_text),          # verbatim benchmark copy
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_contaminated"])
+        for r in ngram_contamination(train, bench, n=8).collect()
+    }
+    assert got == {1: (7, 1), 2: (5, 0), 3: (0, 0), 4: (1, 1)}
+
+
 def test_connected_components_vs_bfs(spark):
     rng = np.random.default_rng(5)
     n = 300

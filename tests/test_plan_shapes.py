@@ -139,6 +139,23 @@ def test_boilerplate_segments_plan_shape(spark):
     assert plan.count("InMemoryTableScan") >= 3, plan
 
 
+def test_ngram_contamination_broadcasts_benchmark(spark):
+    """The benchmark gram set must broadcast (eval suites are MBs vs a
+    TB corpus): the training side joins via BroadcastHashJoin and never
+    shuffles its exploded grams."""
+    from symspellpy_spark.operators.dedup import ngram_contamination
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _physical(
+        ngram_contamination(
+            docs.where(F.col("source") != "src0"),
+            docs.where(F.col("source") == "src0"),
+        )
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin [gram" in plan, plan
+
+
 def test_fuzzy_segmentation_default_plan_is_join_free(spark):
     """The worker-local fuzzy path must not plan any join or
     per-substring relation: one MapInPandas over (doc_id, phrase) rows,
