@@ -42,6 +42,14 @@ def main(argv=None) -> None:
     ap.add_argument("--shingle-k", type=int, default=5)
     ap.add_argument("--max-bucket-size", type=int, default=1000)
     ap.add_argument(
+        "--salted-bucket-cap",
+        type=int,
+        default=None,
+        help="hot-band salted tier: buckets up to this size still pair, "
+        "via a salted self-join spread over --n-salt tasks",
+    )
+    ap.add_argument("--n-salt", type=int, default=8)
+    ap.add_argument(
         "--survivors",
         action="store_true",
         help="also write the deduplicated corpus (survivors/ — one url "
@@ -80,6 +88,8 @@ def main(argv=None) -> None:
         num_perm=args.num_perm,
         shingle_k=args.shingle_k,
         max_bucket_size=args.max_bucket_size,
+        salted_bucket_cap=args.salted_bucket_cap,
+        n_salt=args.n_salt,
         use_winnowing=args.use_winnowing,
         winnow_k=args.winnow_k,
         winnow_window=args.winnow_window,

@@ -869,9 +869,22 @@ def _bucket_pairs(
     bucket_cols: list[str],
     member_col,
     max_bucket_size: int,
+    salted_cap: int | None = None,
+    n_salt: int = 8,
 ) -> DataFrame:
     """Within-bucket pair generation: (id_a, id_b) for every unordered
-    member pair of each bucket with 1 < size <= max_bucket_size.
+    member pair of each bucket with 1 < size <= max_bucket_size — plus,
+    when ``salted_cap`` is set, a SALTED tier for hot buckets with
+    max_bucket_size < size <= salted_cap (the north rule's "salted
+    repartitioning for hot-band skew"): one side keeps a deterministic
+    salt ``xxhash64(member) % n_salt``, the other replicates to all
+    ``n_salt`` salts, and the join key gains the salt — a hot bucket's
+    O(size²) pair generation spreads over ``n_salt`` tasks instead of
+    serializing on one, at the cost of replicating the (bounded) hot
+    relation ``n_salt``×. Every pair is still emitted exactly once (at
+    the salt of its a-side member). Buckets over ``salted_cap`` (or
+    over ``max_bucket_size`` when unset) are dropped — observable via
+    :func:`lsh_bucket_stats`.
 
     Shape chosen for 100 TB: ONE hash shuffle on the bucket key feeds a
     window count that drops monster buckets BEFORE anything else happens
@@ -886,10 +899,14 @@ def _bucket_pairs(
     """
     member = F.col(member_col) if isinstance(member_col, str) else member_col
     w = Window.partitionBy(*bucket_cols)
+    sized = exploded.select(*bucket_cols, member.alias("_m")).withColumn(
+        "_bs", F.count("*").over(w)
+    )
+    if salted_cap is not None:
+        # both tiers read the window output: materialize it once
+        sized = sized.localCheckpoint(eager=False)
     capped = (
-        exploded.select(*bucket_cols, member.alias("_m"))
-        .withColumn("_bs", F.count("*").over(w))
-        .where((F.col("_bs") > 1) & (F.col("_bs") <= max_bucket_size))
+        sized.where((F.col("_bs") > 1) & (F.col("_bs") <= max_bucket_size))
         .drop("_bs")
         # materialize ONCE: the capped relation is orders of magnitude
         # smaller than its upstream (explode + shuffle + any sampling
@@ -912,11 +929,37 @@ def _bucket_pairs(
     # exchanges, so ReusedExchange computes the upstream (incl. any
     # sampling UDF) once; a broadcast join would duplicate the whole
     # subplan AND serialize a corpus-scale build on the driver
-    return (
+    pairs = (
         a_side.hint("merge").join(b_side.hint("merge"), bucket_cols)
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
+    if salted_cap is None or salted_cap <= max_bucket_size:
+        return pairs
+    hot = (
+        sized.where(
+            (F.col("_bs") > max_bucket_size) & (F.col("_bs") <= salted_cap)
+        )
+        .drop("_bs")
+        .localCheckpoint(eager=False)
+    )
+    hot_a = hot.select(
+        *bucket_cols,
+        F.col("_m").alias("id_a"),
+        F.pmod(F.xxhash64("_m"), F.lit(n_salt)).cast("long").alias("_salt"),
+    )
+    hot_b = hot.select(*bucket_cols, F.col("_m").alias("id_b")).withColumn(
+        "_salt",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(n_salt - 1).cast("long"))
+        ),
+    )
+    salted = (
+        hot_a.join(hot_b, [*bucket_cols, "_salt"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    return pairs.unionByName(salted)
 
 
 def _band_keys(num_perm: int, bands: int):
@@ -966,19 +1009,30 @@ def lsh_candidate_pairs(
     num_perm: int = 128,
     max_bucket_size: int = 1000,
     bands_col: str | None = None,
+    salted_bucket_cap: int | None = None,
+    n_salt: int = 8,
 ) -> DataFrame:
     """(id_a, id_b) candidate pairs from MinHash LSH banding.
 
     Buckets larger than ``max_bucket_size`` are dropped (boilerplate-
-    heavy hot bands — observable via :func:`lsh_bucket_stats`); pairs
-    reached in several bands are deduplicated. Pass ``bands_col`` when
-    the signature relation carries precomputed band hashes (see
-    :func:`tokens_to_signatures`) — candidate generation then never
-    touches the num_perm-wide minhash column.
+    heavy hot bands — observable via :func:`lsh_bucket_stats`) unless
+    ``salted_bucket_cap`` extends them a salted-repartitioning tier
+    (see :func:`_bucket_pairs`); pairs reached in several bands are
+    deduplicated. Pass ``bands_col`` when the signature relation
+    carries precomputed band hashes (see :func:`tokens_to_signatures`)
+    — candidate generation then never touches the num_perm-wide
+    minhash column.
     """
     banded = _banded(signatures, bands, num_perm, bands_col=bands_col)
     return (
-        _bucket_pairs(banded, ["band_id", "band_hash"], "id", max_bucket_size)
+        _bucket_pairs(
+            banded,
+            ["band_id", "band_hash"],
+            "id",
+            max_bucket_size,
+            salted_cap=salted_bucket_cap,
+            n_salt=n_salt,
+        )
         .select("id_a", "id_b")
         .distinct()
     )
@@ -1022,6 +1076,8 @@ def simhash_candidate_pairs(
     max_hamming: int = 3,
     n_blocks: int | None = None,
     max_bucket_size: int = 1000,
+    salted_bucket_cap: int | None = None,
+    n_salt: int = 8,
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with Hamming(simhash) <= max_hamming.
 
@@ -1052,6 +1108,8 @@ def simhash_candidate_pairs(
         ["block_id", "block_value"],
         F.struct(F.col("id"), F.col("simhash")),
         max_bucket_size,
+        salted_cap=salted_bucket_cap,
+        n_salt=n_salt,
     )
     return (
         pairs.select(

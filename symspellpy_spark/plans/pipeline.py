@@ -69,6 +69,13 @@ class DedupConfig:
     # the rate halves the dominant candidate-stage shuffle
     substring_sample_mod: int = 16
     max_bucket_size: int = 1000
+    # hot-band salted tier (north rule: "salted repartitioning for
+    # hot-band skew"): buckets with max_bucket_size < size <= this cap
+    # still generate pairs, via a salted self-join that spreads one hot
+    # bucket's O(size^2) work over n_salt tasks; None keeps the plain
+    # drop-over-cap behavior
+    salted_bucket_cap: int | None = None
+    n_salt: int = 8
     # winnowing local-match sweep (MOSS fingerprints): off by default —
     # LSH + SimHash + substring already cover whole-doc near-dups; turn
     # on to also catch PARTIAL overlap (a shared section >= 
@@ -369,11 +376,15 @@ class DedupPipeline:
             num_perm=c.num_perm,
             max_bucket_size=c.max_bucket_size,
             bands_col="bands",
+            salted_bucket_cap=c.salted_bucket_cap,
+            n_salt=c.n_salt,
         ).select("id_a", "id_b", F.lit("minhash_lsh").alias("source"))
         sim = simhash_candidate_pairs(
             narrow,
             max_hamming=c.simhash_max_hamming,
             max_bucket_size=c.max_bucket_size,
+            salted_bucket_cap=c.salted_bucket_cap,
+            n_salt=c.n_salt,
         ).select("id_a", "id_b", F.lit("simhash").alias("source"))
         if "sub_grams" in sig.columns:
             # fused sources: substring grams + text hash were computed

@@ -164,6 +164,59 @@ def test_boilerplate_segments(spark):
     }
 
 
+def test_salted_bucket_pairs_exact_and_tiered(spark):
+    """The salted hot-bucket tier emits exactly the full unordered pair
+    set of buckets in (max_bucket_size, salted_cap] — each pair once —
+    while small buckets keep the plain path and monster buckets are
+    still dropped."""
+    from symspellpy_spark.operators.dedup import _bucket_pairs
+
+    rows = []
+    rows += [("small", i) for i in range(5)]        # plain tier: C(5,2)
+    rows += [("hot", 100 + i) for i in range(40)]   # salted tier: C(40,2)
+    rows += [("monster", 1000 + i) for i in range(80)]  # dropped
+    df = spark.createDataFrame(rows, "bucket string, id long")
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in _bucket_pairs(
+            df, ["bucket"], "id", max_bucket_size=10, salted_cap=60, n_salt=4
+        ).collect()
+    )
+    exp = sorted(
+        [(a, b) for a in range(5) for b in range(a + 1, 5)]
+        + [
+            (100 + a, 100 + b)
+            for a in range(40)
+            for b in range(a + 1, 40)
+        ]
+    )
+    assert got == exp  # exactly once each: no dups, no misses
+    # without the salted tier the hot bucket is dropped entirely
+    plain = _bucket_pairs(df, ["bucket"], "id", max_bucket_size=10).count()
+    assert plain == 10  # C(5,2)
+
+
+def test_lsh_salted_cap_recovers_hot_band_pairs(spark, sigs):
+    """lsh_candidate_pairs with a salted cap is a superset of the
+    plain capped run and equals the uncapped run when the salted cap
+    covers every bucket."""
+    plain = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sigs, max_bucket_size=3).collect()
+    }
+    salted = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(
+            sigs, max_bucket_size=3, salted_bucket_cap=10**6, n_salt=4
+        ).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sigs, max_bucket_size=10**6).collect()
+    }
+    assert plain <= salted and salted == uncapped and len(salted) > len(plain)
+
+
 def test_ngram_contamination(spark):
     """Planted leak: a training doc embedding a benchmark 8-gram at an
     arbitrary offset is flagged with the exact overlap count; clean and
