@@ -1269,6 +1269,8 @@ def substring_fingerprint_pairs(
     gram_len: int = 40,
     sample_mod: int = 8,
     max_bucket_size: int = 1000,
+    salted_bucket_cap: int | None = None,
+    n_salt: int = 8,
 ) -> DataFrame:
     """(id_a, id_b, shared_grams) — exact-substring dup candidates.
 
@@ -1324,7 +1326,14 @@ def substring_fingerprint_pairs(
         .select("id", F.explode(sampled_grams(F.col("_t"))).alias("g"))
     )
     return (
-        _bucket_pairs(grams, ["g"], "id", max_bucket_size)
+        _bucket_pairs(
+            grams,
+            ["g"],
+            "id",
+            max_bucket_size,
+            salted_cap=salted_bucket_cap,
+            n_salt=n_salt,
+        )
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("shared_grams"))
     )
@@ -1335,6 +1344,8 @@ def substring_pairs_from_grams(
     grams_col: str = "sub_grams",
     id_col: str = "id",
     max_bucket_size: int = 1000,
+    salted_bucket_cap: int | None = None,
+    n_salt: int = 8,
 ) -> DataFrame:
     """(id_a, id_b, shared_grams) from precomputed sampled gram hashes
     (``text_to_signatures(substring_gram_len=...)``): the substring
@@ -1347,7 +1358,14 @@ def substring_pairs_from_grams(
         F.col(id_col).alias("id"), F.explode(F.col(grams_col)).alias("g")
     )
     return (
-        _bucket_pairs(grams, ["g"], "id", max_bucket_size)
+        _bucket_pairs(
+            grams,
+            ["g"],
+            "id",
+            max_bucket_size,
+            salted_cap=salted_bucket_cap,
+            n_salt=n_salt,
+        )
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("shared_grams"))
     )
@@ -1647,6 +1665,8 @@ def winnowing_candidate_pairs(
     id_col: str = "url",
     text_col: str = "text",
     max_bucket_size: int = 1000,
+    salted_bucket_cap: int | None = None,
+    n_salt: int = 8,
 ) -> DataFrame:
     """(id_a, id_b, shared_fingerprints) — documents sharing winnowing
     fingerprints: the local-match candidate sweep (any shared substring
@@ -1661,7 +1681,14 @@ def winnowing_candidate_pairs(
         docs, k=k, window=window, id_col=id_col, text_col=text_col
     ).select("id", "fingerprint").distinct()
     return (
-        _bucket_pairs(fps, ["fingerprint"], "id", max_bucket_size)
+        _bucket_pairs(
+            fps,
+            ["fingerprint"],
+            "id",
+            max_bucket_size,
+            salted_cap=salted_bucket_cap,
+            n_salt=n_salt,
+        )
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("shared_fingerprints"))
     )

@@ -392,7 +392,10 @@ class DedupPipeline:
             # second Python stage, and a signatures-checkpoint resume
             # regenerates candidates without touching the pages table
             sub = substring_pairs_from_grams(
-                sig, max_bucket_size=c.max_bucket_size
+                sig,
+                max_bucket_size=c.max_bucket_size,
+                salted_bucket_cap=c.salted_bucket_cap,
+                n_salt=c.n_salt,
             ).select("id_a", "id_b", F.lit("substring").alias("source"))
             exact = (
                 exact_duplicates_from_hash(sig)
@@ -410,6 +413,8 @@ class DedupPipeline:
                 gram_len=c.substring_gram_len,
                 sample_mod=c.substring_sample_mod,
                 max_bucket_size=c.max_bucket_size,
+                salted_bucket_cap=c.salted_bucket_cap,
+                n_salt=c.n_salt,
             ).select("id_a", "id_b", F.lit("substring").alias("source"))
             exact = (
                 exact_duplicates(pages64, id_col="id")
@@ -428,6 +433,8 @@ class DedupPipeline:
                 window=c.winnow_window,
                 id_col="id",
                 max_bucket_size=c.max_bucket_size,
+                salted_bucket_cap=c.salted_bucket_cap,
+                n_salt=c.n_salt,
             ).select("id_a", "id_b", F.lit("winnowing").alias("source"))
             pairs = pairs.unionByName(win)
         # candidate rows are narrow; AQE would coalesce this exchange to

@@ -171,6 +171,35 @@ def test_winnowing_sweep_catches_partial_overlap(spark):
     assert "winnowing" in by_pair[want]
 
 
+def test_salted_cap_recovers_hot_band_candidates(spark, pages):
+    """A bucket cap tight enough to drop hot bands loses candidate
+    pairs; turning on the salted tier (salted_bucket_cap) recovers
+    them — the pipeline-level wiring of the hot-band skew story."""
+    tight = DedupPipeline(spark, DedupConfig(max_bucket_size=2))
+    tight_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in tight.candidate_pairs(pages).collect()
+    }
+    salted = DedupPipeline(
+        spark,
+        DedupConfig(max_bucket_size=2, salted_bucket_cap=10**6, n_salt=4),
+    )
+    salted_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in salted.candidate_pairs(pages).collect()
+    }
+    full = DedupPipeline(spark, DedupConfig(max_bucket_size=10**6))
+    full_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in full.candidate_pairs(pages).collect()
+    }
+    assert tight_pairs < salted_pairs
+    # LSH + SimHash recover exactly; the fused substring/exact sources
+    # share the same _bucket_pairs tiering, so the whole candidate set
+    # matches the uncapped run
+    assert salted_pairs == full_pairs
+
+
 def test_narrow_signature_checkpoint_bytes_and_equivalence(spark, pages, tmp_path):
     """The default (narrow, zstd, packed-minhash) signatures checkpoint
     must (a) be substantially smaller on disk than the legacy full
