@@ -447,6 +447,39 @@ def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by tf-idf with a
+    rational idf surrogate ``floor(1e6 * N / df)`` — integer arithmetic
+    end-to-end so Spark and the oracle agree bit-exactly (a float
+    ``ln(N/df)`` ranks identically for fixed N: both are strictly
+    decreasing in df). Shape: tf and df are two hash aggregations with
+    map-side combine; df joins back on the term key; per-doc top-3 is a
+    rank window with WindowGroupLimit pushdown. N is a bounded driver
+    scalar (one count of the input)."""
+    docs = _read(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    from pyspark.sql import Window
+
+    scored = tf.join(dfreq, "term").withColumn(
+        "score",
+        F.col("tf") * F.expr(f"CAST({n_docs * 1_000_000} AS BIGINT) DIV df"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "term", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: token counts + length ratios per document."""
     docs = _read(spark, sf_dir, "documents")
@@ -1036,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "boilerplate_segments": q_boilerplate_segments,
         "ngram_contamination": q_ngram_contamination,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "text_quality": q_text_quality,
         "langid": q_langid,
         "sessionize": q_sessionize,
@@ -1717,6 +1751,27 @@ def oracle_sql() -> dict[str, str]:
            COALESCE(a.n_contaminated, 0) AS n_contaminated
     FROM (SELECT doc_id FROM documents WHERE source != 'src0') t
     LEFT JOIN agg a USING (doc_id)""",
+        "tfidf_top_terms": f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT t.doc_id, t.term,
+               t.tf * ((SELECT count(*) FROM documents) * 1000000 // d.df)
+                   AS score
+        FROM tf t JOIN dfreq d USING (term)
+    )
+    SELECT doc_id, term, score, CAST(rn AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term
+        ) AS rn FROM scored
+    ) WHERE rn <= 3""",
         "embedding_dup_pairs": """
     WITH pairs AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS va, b.embedding AS vb

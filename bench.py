@@ -160,6 +160,10 @@ def main() -> None:
             "ngram_contamination",
             lambda: E.q_ngram_contamination(spark, sf_dir).count(),
         )
+        timed(
+            "tfidf_top_terms",
+            lambda: E.q_tfidf_top_terms(spark, sf_dir).count(),
+        )
         timed("sessionize", lambda: E.q_sessionize(spark, sf_dir).count())
         timed("tpch_q1", lambda: E.q_tpch_q1(spark, sf_dir).count())
 
