@@ -450,14 +450,17 @@ def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document keyword extraction: top-3 terms by tf-idf with a
     rational idf surrogate ``floor(1e6 * N / df)`` — integer arithmetic
-    end-to-end so Spark and the oracle agree bit-exactly (a float
-    ``ln(N/df)`` ranks identically for fixed N: both are strictly
-    decreasing in df). Shape: tf and df are two hash aggregations with
-    map-side combine; df joins back on the term key; per-doc top-3 is a
-    rank window with WindowGroupLimit pushdown. N is a bounded driver
-    scalar (one count of the input)."""
+    end-to-end so Spark and the oracle agree bit-exactly. The surrogate
+    ranks like ``ln(N/df)`` while adjacent df values map to distinct
+    integers (df <= ~sqrt(1e6*N)); beyond that the quantized idf can
+    tie terms a float idf would separate — ties break deterministically
+    on the term, identically in both engines. Shape: tf and df are two
+    hash aggregations with map-side combine; df joins back on the term
+    key; per-doc top-3 is a rank window with WindowGroupLimit pushdown;
+    N enters as a lazy 1-row broadcast scalar (no eager count job at
+    plan-build time), mirroring the oracle's scalar subquery."""
     docs = _read(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    n_rel = docs.agg(F.count("*").alias("_n"))
     toks = docs.select(
         "doc_id",
         F.explode(
@@ -468,9 +471,12 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     from pyspark.sql import Window
 
-    scored = tf.join(dfreq, "term").withColumn(
-        "score",
-        F.col("tf") * F.expr(f"CAST({n_docs * 1_000_000} AS BIGINT) DIV df"),
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_rel))
+        .withColumn(
+            "score", F.expr("tf * ((1000000 * CAST(_n AS BIGINT)) DIV df)")
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
     return (

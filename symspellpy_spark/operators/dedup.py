@@ -898,24 +898,36 @@ def _bucket_pairs(
     are ordered by the struct's first field.
     """
     member = F.col(member_col) if isinstance(member_col, str) else member_col
+    if salted_cap is not None and salted_cap > max_bucket_size and n_salt < 1:
+        raise ValueError(f"n_salt must be >= 1, got {n_salt}")
+    salted = salted_cap is not None and salted_cap > max_bucket_size
     w = Window.partitionBy(*bucket_cols)
     sized = exploded.select(*bucket_cols, member.alias("_m")).withColumn(
         "_bs", F.count("*").over(w)
     )
-    if salted_cap is not None:
-        # both tiers read the window output: materialize it once
-        sized = sized.localCheckpoint(eager=False)
-    capped = (
-        sized.where((F.col("_bs") > 1) & (F.col("_bs") <= max_bucket_size))
-        .drop("_bs")
+    if salted:
+        # both tiers read the window output: materialize the SURVIVING
+        # buckets once (filtering to <= salted_cap BEFORE the
+        # checkpoint — the unfiltered window output is corpus-scale:
+        # on real web data most LSH band buckets are singletons, and
+        # checkpoint blocks are effectively never context-cleaned in
+        # this environment, see scoped_cache.py)
+        sized = sized.where(
+            (F.col("_bs") > 1) & (F.col("_bs") <= salted_cap)
+        ).localCheckpoint(eager=False)
+    capped = sized.where(
+        (F.col("_bs") > 1) & (F.col("_bs") <= max_bucket_size)
+    ).drop("_bs")
+    if not salted:
         # materialize ONCE: the capped relation is orders of magnitude
         # smaller than its upstream (explode + shuffle + any sampling
         # UDF), which would otherwise be recomputed for each join side
         # (exchange reuse across self-join sides is not guaranteed,
         # especially under AQE). On a cluster this is a
-        # persist(MEMORY_AND_DISK)-class decision.
-        .localCheckpoint(eager=False)
-    )
+        # persist(MEMORY_AND_DISK)-class decision. (In the salted case
+        # the tier base above is already checkpointed; both tiers are
+        # narrow filters over it.)
+        capped = capped.localCheckpoint(eager=False)
     # self-join the capped relation on the bucket key: both sides are
     # the same window output — already hash-partitioned AND sorted on
     # the key, so the sort-merge join inserts no exchange and no sort,
@@ -934,15 +946,9 @@ def _bucket_pairs(
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
-    if salted_cap is None or salted_cap <= max_bucket_size:
+    if not salted:
         return pairs
-    hot = (
-        sized.where(
-            (F.col("_bs") > max_bucket_size) & (F.col("_bs") <= salted_cap)
-        )
-        .drop("_bs")
-        .localCheckpoint(eager=False)
-    )
+    hot = sized.where(F.col("_bs") > max_bucket_size).drop("_bs")
     hot_a = hot.select(
         *bucket_cols,
         F.col("_m").alias("id_a"),
