@@ -486,6 +486,26 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_RATES = {"en": 60, "de": 30, "fr": 30, "es": 10, "zh": 5}
+
+
+def q_data_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mixture sampling
+    (operators/sampling.py:hash_stratified_sample): per-language
+    keep-rates decided by ``pmod(xxhash64(doc_id), 100) < rate`` — a
+    pure function of the key, so retries/reruns/cluster sizes select
+    identical rows. The oracle replays Spark's xxhash64 over the
+    little-endian long bit-exactly in SQL (single-8-byte-block XXH64,
+    seed 42 — the long twin of the string chain used by the
+    simhash_pairs oracle)."""
+    from symspellpy_spark.operators.sampling import hash_stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return hash_stratified_sample(
+        docs, _MIX_RATES, key_col="doc_id", strata_col="lang"
+    ).select("doc_id", "lang", "source")
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: token counts + length ratios per document."""
     docs = _read(spark, sf_dir, "documents")
@@ -1076,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_segments": q_boilerplate_segments,
         "ngram_contamination": q_ngram_contamination,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "data_mix": q_data_mix,
         "text_quality": q_text_quality,
         "langid": q_langid,
         "sessionize": q_sessionize,
@@ -1397,6 +1418,54 @@ def _xxh64_nested_sql(base_sql: str) -> str:
     for c in _xxh64_cols():
         inner = f"SELECT *, {c} FROM ({inner})"
     return inner
+
+
+def _xxh64_long_cols(col: str) -> list[str]:
+    """XXH64(little-endian 8 bytes of BIGINT ``col``, seed=42) as
+    'expr AS alias' stages, final alias ``xxh_signed`` (signed int64 —
+    Spark's ``xxhash64`` over a long column, pinned bit-exact in
+    ``tests/test_xxh64_parity.py``). The single-8-byte-block short
+    path: one round-mixed chunk, then the avalanche."""
+    P1, P2, P3, P4 = (f"{p}::UBIGINT" for p in (_XXP1, _XXP2, _XXP3, _XXP4))
+    cols: list[str] = []
+    add = lambda name, expr: cols.append(f"{expr} AS {name}")  # noqa: E731
+    # two's-complement reinterpret: BIGINT -> UBIGINT
+    add("k1", f"CAST(((CAST({col} AS HUGEINT) % {_M64}) + {_M64}) % {_M64}"
+              f" AS UBIGINT)")
+    add("xacc", _xx_mul(_xx_rotl(_xx_mul("k1", P2), 31), P1))
+    add("xh1", f"xor({42 + _XXP5 + 8}::UBIGINT, xacc)")
+    add(
+        "xh2",
+        f"CAST((CAST({_xx_mul(_xx_rotl('xh1', 27), P1)} AS HUGEINT)"
+        f" + {_XXP4}) % {_M64} AS UBIGINT)",
+    )
+    add("xh3", f"xor(xh2, xh2 // {1 << 33}::UBIGINT)")
+    add("xh4", _xx_mul("xh3", P2))
+    add("xh5", f"xor(xh4, xh4 // {1 << 29}::UBIGINT)")
+    add("xh6", _xx_mul("xh5", P3))
+    add("xh7", f"xor(xh6, xh6 // {1 << 32}::UBIGINT)")
+    add(
+        "xxh_signed",
+        f"CAST(CASE WHEN xh7 >= {1 << 63}::UBIGINT"
+        f" THEN CAST(xh7 AS HUGEINT) - {_M64}"
+        f" ELSE CAST(xh7 AS HUGEINT) END AS BIGINT)",
+    )
+    return cols
+
+
+def _data_mix_oracle() -> str:
+    """data_mix oracle: the XXH64-of-long chain replays Spark's
+    ``pmod(xxhash64(doc_id), 100)`` exactly; the CASE ladder mirrors
+    the operator's per-language rates (unknown strata default 0)."""
+    inner = "SELECT doc_id, lang, source FROM documents"
+    for c in _xxh64_long_cols("doc_id"):
+        inner = f"SELECT *, {c} FROM ({inner})"
+    ladder = " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(_MIX_RATES.items())
+    )
+    return f"""
+    SELECT doc_id, lang, source FROM ({inner})
+    WHERE ((xxh_signed % 100) + 100) % 100 < (CASE {ladder} ELSE 0 END)"""
 
 
 def _simhash_xxh_oracle() -> str:
@@ -1757,6 +1826,7 @@ def oracle_sql() -> dict[str, str]:
            COALESCE(a.n_contaminated, 0) AS n_contaminated
     FROM (SELECT doc_id FROM documents WHERE source != 'src0') t
     LEFT JOIN agg a USING (doc_id)""",
+        "data_mix": _data_mix_oracle(),
         "tfidf_top_terms": f"""
     WITH tok AS (
         SELECT doc_id,

@@ -243,6 +243,38 @@ def test_ngram_contamination(spark):
     assert got == {1: (7, 1), 2: (5, 0), 3: (0, 0), 4: (1, 1)}
 
 
+def test_hash_stratified_sample(spark):
+    """Deterministic mixture sampling: identical selection across
+    repartitionings, per-stratum rates within binomial tolerance,
+    default rate 0 for unmapped strata, bad rates rejected."""
+    from symspellpy_spark.operators.sampling import hash_stratified_sample
+
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en")
+        .when(F.col("id") % 3 == 1, "de")
+        .otherwise("xx")
+        .alias("lang"),
+    )
+    rates = {"en": 50, "de": 10}
+    a = {r["doc_id"] for r in hash_stratified_sample(df, rates).collect()}
+    b = {
+        r["doc_id"]
+        for r in hash_stratified_sample(df.repartition(17), rates).collect()
+    }
+    assert a == b  # partitioning-independent
+    by_lang = {"en": 0, "de": 0, "xx": 0}
+    for r in hash_stratified_sample(df, rates).collect():
+        by_lang[r["lang"]] += 1
+    assert by_lang["xx"] == 0  # unmapped stratum -> default 0
+    # ~1333 docs per stratum; binomial sd ~18 at p=.5, ~13 at p=.1
+    assert abs(by_lang["en"] - 1333 * 0.5) < 100, by_lang
+    assert abs(by_lang["de"] - 1333 * 0.1) < 60, by_lang
+
+    with pytest.raises(ValueError):
+        hash_stratified_sample(df, {"en": 101})
+
+
 def test_connected_components_vs_bfs(spark):
     rng = np.random.default_rng(5)
     n = 300

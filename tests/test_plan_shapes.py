@@ -156,6 +156,18 @@ def test_ngram_contamination_broadcasts_benchmark(spark):
     assert "BroadcastHashJoin [gram" in plan, plan
 
 
+def test_hash_stratified_sample_is_shuffle_free(spark):
+    """The mixture sampler must plan as a pure filter over the scan —
+    no Exchange, no UDF: its keep-decision is per-row, so at 100 TB it
+    composes into any stage without adding a shuffle."""
+    from symspellpy_spark.operators.sampling import hash_stratified_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _physical(hash_stratified_sample(docs, {"en": 60, "de": 30}))
+    assert "Exchange" not in plan, plan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan, plan
+
+
 def test_fuzzy_segmentation_default_plan_is_join_free(spark):
     """The worker-local fuzzy path must not plan any join or
     per-substring relation: one MapInPandas over (doc_id, phrase) rows,
