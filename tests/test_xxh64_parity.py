@@ -61,6 +61,32 @@ def test_sql_chain_rejects_long_tokens():
         con.execute(f"SELECT xxh FROM ({inner})").fetchall()
 
 
+def test_long_sql_chain_matches_spark(spark):
+    """DuckDB XXH64-of-long stage chain (the data_mix oracle) ==
+    Spark xxhash64 over a LONG column: the 8-byte little-endian block
+    short path, extremes and random values."""
+    import __spark_entry__ as E
+
+    rng = random.Random(41)
+    vals = sorted(
+        {0, 1, -1, 2**63 - 1, -(2**63), 499}
+        | {rng.randrange(-(2**63), 2**63) for _ in range(200)}
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    exp = {
+        r["v"]: r["h"]
+        for r in df.select("v", F.xxhash64("v").alias("h")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    inner = "SELECT v FROM t"
+    for c in E._xxh64_long_cols("v"):
+        inner = f"SELECT *, {c} FROM ({inner})"
+    got = dict(con.execute(f"SELECT v, xxh_signed FROM ({inner})").fetchall())
+    assert got == exp
+
+
 def test_gram_kernel_matches_spark(spark):
     """Vectorized per-gram XXH64 == Spark xxhash64 of each substring,
     several gram sizes across the short-path chunk schedule."""
