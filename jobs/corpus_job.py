@@ -1,0 +1,151 @@
+"""spark-submit entry point assembling an LLM training corpus.
+
+The stage chain a web-scale training-data pipeline runs AFTER crawling,
+composed entirely from this engine's operators:
+
+    pages --(DedupPipeline)--> near-dup survivors
+          --(boilerplate_segments)--> drop boilerplate-heavy docs
+          --(ngram_contamination)--> drop benchmark-contaminated docs
+          --(hash_stratified_sample)--> per-language mixture
+          --> corpus/ parquet (+ one JSON metrics line on stdout)
+
+Usage (cluster):
+    spark-submit --py-files symspellpy_spark.zip jobs/corpus_job.py \
+        --input /path/to/pages --benchmark /path/to/benchmark_pages \
+        --output /path/to/out [--mix en=60,de=30] [--max-boiler 0.5]
+
+Usage (sandbox smoke, synthesized corpus; a deterministic slice of the
+input plays the benchmark):
+    python jobs/corpus_job.py --synthesize 3000 --output /tmp/corpus
+
+Every stage is shuffle-minimal by construction: dedup survivors come
+from the capped/salted bucket joins, the boilerplate filter is two hash
+aggregations, contamination broadcasts the benchmark gram set, and the
+mixture sampler is a pure filter. Text bytes are carried through
+untouched (the per-row invariant).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from symspellpy_spark.operators.dedup import (  # noqa: E402
+    boilerplate_segments,
+    ngram_contamination,
+)
+from symspellpy_spark.operators.sampling import (  # noqa: E402
+    hash_stratified_sample,
+)
+from symspellpy_spark.plans.pipeline import (  # noqa: E402
+    DedupConfig,
+    DedupPipeline,
+)
+from symspellpy_spark.session import get_spark  # noqa: E402
+
+
+def parse_mix(spec: str) -> dict:
+    """'en=60,de=30' -> {'en': 60, 'de': 30}."""
+    out = {}
+    for part in spec.split(","):
+        if not part:
+            continue
+        k, v = part.split("=")
+        out[k.strip()] = int(v)
+    return out
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="pages parquet path")
+    ap.add_argument("--synthesize", type=int, default=0)
+    ap.add_argument(
+        "--benchmark",
+        default=None,
+        help="benchmark pages parquet (contamination reference); with "
+        "--synthesize, a deterministic 2%% slice of the input is used",
+    )
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--mix", default="", help="lang=pct[,lang=pct...]; "
+                    "empty keeps every language at 100%%")
+    ap.add_argument("--max-boiler", type=float, default=0.5,
+                    help="drop docs with boiler_ratio above this")
+    ap.add_argument("--contam-grams", type=int, default=8)
+    ap.add_argument("--seg-len", type=int, default=8)
+    ap.add_argument("--min-docs", type=int, default=2)
+    ap.add_argument("--cores", default=None)
+    args = ap.parse_args(argv)
+
+    spark = get_spark("corpus_job", cores=args.cores)
+    if args.synthesize:
+        from symspellpy_spark.sources.pages import synthesize_pages
+
+        pages = synthesize_pages(spark, n_docs=args.synthesize)
+        pages = pages.localCheckpoint(eager=True)
+    else:
+        pages = spark.read.parquet(args.input)
+    if args.benchmark:
+        bench = spark.read.parquet(args.benchmark)
+    else:
+        # deterministic stand-in: ~2% of pages by url hash
+        bench = pages.where(F.pmod(F.xxhash64("url"), F.lit(50)) == 0)
+
+    t0 = time.perf_counter()
+    metrics: dict = {"docs": pages.count()}
+
+    # 1. near-duplicate removal (one survivor per dup cluster)
+    pipe = DedupPipeline(spark, DedupConfig(), checkpoint_dir=args.checkpoint)
+    surv_urls = pipe.survivors(pages)
+    surv = pages.join(surv_urls, "url", "left_semi").localCheckpoint(
+        eager=True
+    )
+    metrics["after_dedup"] = surv.count()
+
+    # 2. boilerplate filter (CCNet-style repeated segments)
+    bp = boilerplate_segments(
+        surv, seg_len=args.seg_len, min_docs=args.min_docs, id_col="url"
+    )
+    keep_bp = bp.where(F.col("boiler_ratio") <= args.max_boiler).select("url")
+    surv = surv.join(keep_bp, "url", "left_semi")
+    metrics["after_boilerplate"] = surv.count()
+
+    # 3. benchmark decontamination (drop any doc sharing an n-gram)
+    contam = ngram_contamination(
+        surv, bench, n=args.contam_grams, id_col="url"
+    )
+    clean = contam.where(F.col("n_contaminated") == 0).select("url")
+    surv = surv.join(clean, "url", "left_semi")
+    metrics["after_decontamination"] = surv.count()
+
+    # 4. language mixture
+    mix = parse_mix(args.mix)
+    if mix:
+        surv = hash_stratified_sample(
+            surv, mix, key_col="url", strata_col="lang", default_rate=100
+        )
+    corpus = surv.localCheckpoint(eager=True)
+    metrics["corpus"] = corpus.count()
+
+    corpus.write.mode("overwrite").parquet(os.path.join(args.output, "corpus"))
+    metrics["wall_sec"] = round(time.perf_counter() - t0, 3)
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in corpus.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    metrics["by_lang"] = by_lang
+    print(json.dumps(metrics))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -8,6 +8,50 @@ import subprocess
 import sys
 
 
+def test_corpus_job_subprocess(tmp_path):
+    """jobs/corpus_job.py end-to-end: dedup survivors -> boilerplate
+    filter -> decontamination -> mixture sample; monotone stage counts
+    and the mixture affecting only mapped languages."""
+    out = str(tmp_path / "corpus_out")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "jobs", "corpus_job.py"),
+            "--synthesize",
+            "600",
+            "--output",
+            out,
+            "--cores",
+            "4",
+            "--mix",
+            "en=50",
+        ],
+        cwd=repo,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stdout[-3000:]
+    json_lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert json_lines, proc.stdout[-2000:]
+    m = json.loads(json_lines[-1])
+    assert (
+        m["docs"]
+        >= m["after_dedup"]
+        >= m["after_boilerplate"]
+        >= m["after_decontamination"]
+        >= m["corpus"]
+        > 0
+    ), m
+    # the synthetic benchmark slice is drawn from the corpus itself, so
+    # decontamination must actually remove documents
+    assert m["after_decontamination"] < m["after_boilerplate"], m
+    assert os.path.isdir(os.path.join(out, "corpus"))
+    assert sum(m["by_lang"].values()) == m["corpus"]
+
+
 def test_dedup_job_subprocess(tmp_path):
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
