@@ -506,6 +506,83 @@ def q_data_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (the Gopher/MassiveText
+    quality-filter family): per document, the most-frequent-bigram
+    fraction and the duplicate-8-gram fraction — high values mark
+    degenerate/templated text a training filter drops. Counts are exact
+    integers; each fraction is ONE division of exact ints (safe for the
+    value-hash compare). Shape: pure Catalyst — explode bounded by doc
+    length, two partial-combine aggregations, no self-join (repetition
+    is per-document, never cross-document)."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0).alias(
+            "ts"
+        ),
+    ).where(F.size("ts") >= 2)
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("ts", 1, F.size("ts") - 1),
+                F.slice("ts", 2, F.size("ts") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bg"),
+    )
+    bstats = (
+        big.groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.max("c").alias("top_bigram_count"),
+        )
+    )
+    g8 = (
+        toks.where(F.size("ts") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ts") - 8),
+                    lambda i: F.concat_ws(" ", F.slice("ts", i + 1, 8)),
+                )
+            ).alias("g"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_8grams"),
+            F.count_distinct("g").alias("n_distinct_8grams"),
+        )
+    )
+    return (
+        bstats.join(g8, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "top_bigram_count",
+            (
+                F.col("top_bigram_count").cast("double")
+                / F.col("n_bigrams").cast("double")
+            ).alias("top_bigram_frac"),
+            F.coalesce("n_8grams", F.lit(0)).alias("n_8grams"),
+            (
+                F.coalesce("n_8grams", F.lit(0))
+                - F.coalesce("n_distinct_8grams", F.lit(0))
+            ).alias("n_dup_8grams"),
+            F.when(F.coalesce("n_8grams", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                (F.col("n_8grams") - F.col("n_distinct_8grams")).cast("double")
+                / F.col("n_8grams").cast("double")
+            )
+            .alias("dup_8gram_frac"),
+        )
+    )
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: token counts + length ratios per document."""
     docs = _read(spark, sf_dir, "documents")
@@ -1097,6 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_contamination": q_ngram_contamination,
         "tfidf_top_terms": q_tfidf_top_terms,
         "data_mix": q_data_mix,
+        "gopher_repetition": q_gopher_repetition,
         "text_quality": q_text_quality,
         "langid": q_langid,
         "sessionize": q_sessionize,
@@ -1827,6 +1905,43 @@ def oracle_sql() -> dict[str, str]:
     FROM (SELECT doc_id FROM documents WHERE source != 'src0') t
     LEFT JOIN agg a USING (doc_id)""",
         "data_mix": _data_mix_oracle(),
+        "gopher_repetition": f"""
+    WITH tok AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS ts
+        FROM documents WHERE len(regexp_extract_all(lower(text),
+                                                    '{TOKEN_RE}')) >= 2
+    ),
+    big AS (
+        SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bg
+        FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM tok)
+    ),
+    bstats AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+               CAST(max(c) AS BIGINT) AS top_bigram_count
+        FROM (SELECT doc_id, bg, count(*) AS c FROM big
+              GROUP BY doc_id, bg)
+        GROUP BY doc_id
+    ),
+    g8 AS (
+        SELECT doc_id, count(*) AS n_8grams,
+               count(DISTINCT g) AS n_distinct
+        FROM (
+            SELECT doc_id, array_to_string(ts[i+1 : i+8], ' ') AS g
+            FROM (SELECT doc_id, ts, unnest(range(0, len(ts) - 7)) AS i
+                  FROM tok WHERE len(ts) >= 8)
+        ) GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_bigrams, b.top_bigram_count,
+           CAST(b.top_bigram_count AS DOUBLE) / CAST(b.n_bigrams AS DOUBLE)
+               AS top_bigram_frac,
+           COALESCE(g.n_8grams, 0) AS n_8grams,
+           COALESCE(g.n_8grams, 0) - COALESCE(g.n_distinct, 0)
+               AS n_dup_8grams,
+           CASE WHEN COALESCE(g.n_8grams, 0) = 0 THEN 0.0
+                ELSE CAST(g.n_8grams - g.n_distinct AS DOUBLE)
+                     / CAST(g.n_8grams AS DOUBLE)
+           END AS dup_8gram_frac
+    FROM bstats b LEFT JOIN g8 g USING (doc_id)""",
         "tfidf_top_terms": f"""
     WITH tok AS (
         SELECT doc_id,

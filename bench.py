@@ -165,6 +165,10 @@ def main() -> None:
             lambda: E.q_tfidf_top_terms(spark, sf_dir).count(),
         )
         timed("data_mix", lambda: E.q_data_mix(spark, sf_dir).count())
+        timed(
+            "gopher_repetition",
+            lambda: E.q_gopher_repetition(spark, sf_dir).count(),
+        )
         timed("sessionize", lambda: E.q_sessionize(spark, sf_dir).count())
         timed("tpch_q1", lambda: E.q_tpch_q1(spark, sf_dir).count())
 
