@@ -583,6 +583,127 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-token passage windows per document
+    (operators/corpus_prep.py:passage_chunks) — the chunking stage that
+    feeds embedding / retrieval indexing and sequence-length-capped
+    training examples. Narrow pure-Catalyst plan: no shuffle, fan-out
+    bounded by len/stride; chunk boundaries are integer arithmetic so
+    the oracle reproduces them bit-exactly."""
+    from symspellpy_spark.operators.corpus_prep import passage_chunks
+
+    docs = _read(spark, sf_dir, "documents")
+    return passage_chunks(docs, chunk_tokens=64, stride=48)
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup (operators/corpus_prep.py:url_dedup): URLs
+    derived deterministically from doc_id (scheme/host-case, www.,
+    default-port, utm_*, fragment and trailing-slash variants), then
+    canonicalized with codegen regexp chains and reduced by ONE hash
+    aggregation — min-id survivor + dup count per canonical URL. The
+    oracle replays the same RE2∩Java pattern text in DuckDB."""
+    from symspellpy_spark.operators.corpus_prep import url_dedup
+
+    d = F.col("doc_id")
+    page = d % 40  # ~12 fetch-variants of each logical page at sf0.01
+    urls = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            # noise dimensions vary by doc_id and all canonicalize away;
+            # the page identity (host tier, path, ref param) is a pure
+            # function of `page`, so variants merge to one canonical URL
+            F.when(d % 2 == 0, F.lit("HTTPS://")).otherwise(
+                F.lit("https://")
+            ),
+            F.when(d % 5 == 0, F.lit("WWW.Site")).otherwise(F.lit("site")),
+            (page % 5).cast("string"),
+            F.lit(".Example.COM"),
+            F.when(d % 4 == 0, F.lit(":443"))
+            .when(d % 16 == 1, F.lit(":8080"))  # real port: stays distinct
+            .otherwise(F.lit("")),
+            F.lit("/Articles/"),
+            page.cast("string"),
+            F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(
+                page % 2 == 0,
+                F.when(
+                    d % 3 == 1,
+                    F.concat(
+                        F.lit("?utm_source=feed&ref="),
+                        (page % 4).cast("string"),
+                    ),
+                ).otherwise(
+                    F.concat(
+                        F.lit("?ref="),
+                        (page % 4).cast("string"),
+                        F.when(d % 3 == 2, F.lit("&utm_campaign=x")).otherwise(
+                            F.lit("")
+                        ),
+                    )
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                (d % 6).isin(1, 2),
+                F.concat(F.lit("#Sec-"), (d % 3).cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return url_dedup(urls, url_col="url", id_col="doc_id")
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/corpus_prep.py:pii_scrub): emails /
+    IPv4s / phone numbers injected deterministically from doc_id (the
+    synthetic corpus contains none), then scrubbed by the codegen
+    regexp chain; result carries per-kind counts plus md5(clean_text)
+    so the value compare covers the exact redacted bytes. Narrow plan,
+    no shuffle. Patterns live in the RE2∩Java subset; the oracle runs
+    the identical pattern text with DuckDB's 'g' flag."""
+    from symspellpy_spark.operators.corpus_prep import pii_scrub
+
+    d = F.col("doc_id")
+    aug = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 3 == 0,
+                F.concat(
+                    F.lit(" Contact USER"),
+                    (d % 5).cast("string"),
+                    F.lit("@Mail"),
+                    (d % 4).cast("string"),
+                    F.lit(".org now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 4 == 1,
+                F.concat(
+                    F.lit(" from 10."),
+                    (d % 256).cast("string"),
+                    F.lit(".0."),
+                    (d % 100).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 5 == 2,
+                F.concat(
+                    F.lit(" call +44 123-456-"),
+                    (1000 + d % 9000).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scrub(aug).select(
+        "id",
+        F.md5("clean_text").alias("clean_md5"),
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+    )
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: token counts + length ratios per document."""
     docs = _read(spark, sf_dir, "documents")
@@ -1175,6 +1296,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "data_mix": q_data_mix,
         "gopher_repetition": q_gopher_repetition,
+        "passage_chunks": q_passage_chunks,
+        "url_dedup": q_url_dedup,
+        "pii_scrub": q_pii_scrub,
         "text_quality": q_text_quality,
         "langid": q_langid,
         "sessionize": q_sessionize,
@@ -1529,6 +1653,45 @@ def _xxh64_long_cols(col: str) -> list[str]:
         f" ELSE CAST(xh7 AS HUGEINT) END AS BIGINT)",
     )
     return cols
+
+
+def _pii_scrub_oracle() -> str:
+    """DuckDB replay of q_pii_scrub: identical injection arithmetic and
+    the SAME pattern text as operators/corpus_prep.py:PII_PATTERNS
+    (placeholder substitution, not f-strings — the patterns contain
+    braces and percent signs)."""
+    from symspellpy_spark.operators.corpus_prep import PII_PATTERNS
+
+    sql = """
+    WITH aug AS (
+        SELECT doc_id, text
+            || (CASE WHEN doc_id % 3 = 0
+                     THEN ' Contact USER' || cast(doc_id % 5 AS varchar)
+                          || '@Mail' || cast(doc_id % 4 AS varchar)
+                          || '.org now'
+                     ELSE '' END)
+            || (CASE WHEN doc_id % 4 = 1
+                     THEN ' from 10.' || cast(doc_id % 256 AS varchar)
+                          || '.0.' || cast(doc_id % 100 AS varchar)
+                     ELSE '' END)
+            || (CASE WHEN doc_id % 5 = 2
+                     THEN ' call +44 123-456-'
+                          || cast(1000 + doc_id % 9000 AS varchar)
+                     ELSE '' END) AS t
+        FROM documents
+    )
+    SELECT doc_id AS id,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '@EMAIL@', '<EMAIL>', 'g'),
+               '@IPV4@', '<IP>', 'g'),
+               '@PHONE@', '<PHONE>', 'g')) AS clean_md5,
+           CAST(len(regexp_extract_all(t, '@EMAIL@')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t, '@IPV4@')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(t, '@PHONE@')) AS BIGINT) AS n_phone
+    FROM aug"""
+    for key, (pat, _) in PII_PATTERNS.items():
+        sql = sql.replace(f"@{key.upper()}@", pat)
+    return sql
 
 
 def _data_mix_oracle() -> str:
@@ -1905,6 +2068,83 @@ def oracle_sql() -> dict[str, str]:
     FROM (SELECT doc_id FROM documents WHERE source != 'src0') t
     LEFT JOIN agg a USING (doc_id)""",
         "data_mix": _data_mix_oracle(),
+        "passage_chunks": """
+    WITH toks AS (
+        SELECT doc_id AS id, string_split(text, ' ') AS ts
+        FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ),
+    sized AS (
+        SELECT id, ts,
+               1 + greatest(0, (len(ts) - 64 + 48 - 1) // 48) AS n_chunks
+        FROM toks
+    ),
+    fanned AS (
+        SELECT id, ts,
+               unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+        FROM sized
+    )
+    SELECT id, chunk_id,
+           array_to_string(list_slice(ts, chunk_id * 48 + 1,
+                                      chunk_id * 48 + 64), ' ')
+               AS chunk_text,
+           len(list_slice(ts, chunk_id * 48 + 1, chunk_id * 48 + 64))
+               AS n_tokens
+    FROM fanned""",
+        "url_dedup": """
+    WITH urls AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://'
+                     ELSE 'https://' END)
+               || (CASE WHEN doc_id % 5 = 0 THEN 'WWW.Site'
+                        ELSE 'site' END)
+               || cast((doc_id % 40) % 5 AS varchar) || '.Example.COM'
+               || (CASE WHEN doc_id % 4 = 0 THEN ':443'
+                        WHEN doc_id % 16 = 1 THEN ':8080'
+                        ELSE '' END)
+               || '/Articles/' || cast(doc_id % 40 AS varchar)
+               || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+               || (CASE WHEN (doc_id % 40) % 2 = 0 THEN
+                       CASE WHEN doc_id % 3 = 1
+                            THEN '?utm_source=feed&ref='
+                                 || cast((doc_id % 40) % 4 AS varchar)
+                            ELSE '?ref='
+                                 || cast((doc_id % 40) % 4 AS varchar)
+                                 || (CASE WHEN doc_id % 3 = 2
+                                          THEN '&utm_campaign=x'
+                                          ELSE '' END)
+                       END
+                   ELSE '' END)
+               || (CASE WHEN doc_id % 6 IN (1, 2)
+                        THEN '#Sec-' || cast(doc_id % 3 AS varchar)
+                        ELSE '' END) AS url
+        FROM documents
+    ),
+    pfx AS (
+        SELECT doc_id, url,
+               regexp_extract(url,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0) AS p0
+        FROM urls
+    ),
+    parts AS (
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(lower(p0), '://www\\.', '://'),
+                   ':(80|443)$', '') AS p,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(
+                               substring(url, length(p0) + 1),
+                               '#.*$', ''),
+                           'utm_[a-z_]+=[^&#]*&?', '', 'g'),
+                       '[?&]+$', ''),
+                   '/+$', '') AS r
+        FROM pfx
+    )
+    SELECT p || r AS canonical_url, min(doc_id) AS survivor_id,
+           count(*) AS n_dups
+    FROM parts GROUP BY p || r""",
+        "pii_scrub": _pii_scrub_oracle(),
         "gopher_repetition": f"""
     WITH tok AS (
         SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS ts

@@ -370,6 +370,34 @@ def main() -> None:
     timings.update(best)
 
     if not only_pipeline:
+        # --- corpus-prep narrow ops over the full pages table: passage
+        # chunking + PII scrub fused in one pass (both zero-exchange
+        # projections; one count materializes both), URL dedup as its
+        # one hash agg ---
+        from symspellpy_spark.operators.corpus_prep import (
+            passage_chunks,
+            pii_scrub,
+            url_dedup,
+        )
+
+        timed(
+            "corpus_prep_chunks_pii",
+            lambda: passage_chunks(
+                pii_scrub(pages, id_col="url", keep_all=True),
+                id_col="url",
+                chunk_tokens=64,
+                stride=48,
+            ).count(),
+        )
+        timed(
+            "corpus_prep_url_dedup",
+            lambda: url_dedup(pages, url_col="url", id_col="url").count(),
+        )
+        timings["corpus_prep_docs"] = n_pages
+        timings["corpus_prep_docs_per_sec"] = round(
+            n_pages / timings["corpus_prep_chunks_pii"], 1
+        )
+
         # --- winnowing local-match sweep (MOSS fingerprints -> pairs) ---
         from pyspark.sql import functions as F
 
@@ -496,6 +524,9 @@ def main() -> None:
         "segmentation_en_d1_docs_per_sec",
         "segmentation_en_d2_docs",
         "segmentation_en_d2_docs_per_sec",
+        "en_scale",
+        "corpus_prep_docs",
+        "corpus_prep_docs_per_sec",
         "winnowing_docs",
         "winnowing_docs_per_sec",
         "streaming_lsh_docs",

@@ -3,10 +3,12 @@
 The stage chain a web-scale training-data pipeline runs AFTER crawling,
 composed entirely from this engine's operators:
 
-    pages --(DedupPipeline)--> near-dup survivors
+    pages --(url_dedup)--> canonical-URL survivors (cheapest pass first)
+          --(DedupPipeline)--> near-dup survivors
           --(boilerplate_segments)--> drop boilerplate-heavy docs
           --(ngram_contamination)--> drop benchmark-contaminated docs
           --(hash_stratified_sample)--> per-language mixture
+          --(pii_scrub, opt-in --scrub-pii)--> redacted text
           --> corpus/ parquet (+ one JSON metrics line on stdout)
 
 Usage (cluster):
@@ -21,8 +23,11 @@ input plays the benchmark):
 Every stage is shuffle-minimal by construction: dedup survivors come
 from the capped/salted bucket joins, the boilerplate filter is two hash
 aggregations, contamination broadcasts the benchmark gram set, and the
-mixture sampler is a pure filter. Text bytes are carried through
-untouched (the per-row invariant).
+mixture sampler is a pure filter; URL dedup is one hash aggregation
+and PII scrubbing a narrow projection. Text bytes are carried through
+untouched (the per-row invariant) unless ``--scrub-pii`` is passed —
+redaction is the one stage whose JOB is to change bytes, so it is
+opt-in and its counts land in the metrics line.
 """
 
 from __future__ import annotations
@@ -39,6 +44,10 @@ sys.path.insert(
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from symspellpy_spark.operators.corpus_prep import (  # noqa: E402
+    pii_scrub,
+    url_dedup,
+)
 from symspellpy_spark.operators.dedup import (  # noqa: E402
     boilerplate_segments,
     ngram_contamination,
@@ -83,6 +92,12 @@ def main(argv=None) -> None:
     ap.add_argument("--contam-grams", type=int, default=8)
     ap.add_argument("--seg-len", type=int, default=8)
     ap.add_argument("--min-docs", type=int, default=2)
+    ap.add_argument(
+        "--scrub-pii",
+        action="store_true",
+        help="redact emails/IPv4s/phones in the output corpus (breaks "
+        "the byte-identical text invariant BY DESIGN; counts reported)",
+    )
     ap.add_argument("--cores", default=None)
     args = ap.parse_args(argv)
 
@@ -102,6 +117,15 @@ def main(argv=None) -> None:
 
     t0 = time.perf_counter()
     metrics: dict = {"docs": pages.count()}
+
+    # 0. canonical-URL dedup — the cheapest pass runs first (one hash
+    # aggregation; removes re-fetch/tracking variants before any
+    # content hashing); survivor = min url per canonical URL
+    url_surv = url_dedup(pages, url_col="url", id_col="url").select(
+        F.col("survivor_id").alias("url")
+    )
+    pages = pages.join(url_surv, "url", "left_semi")
+    metrics["after_url_dedup"] = pages.count()
 
     # 1. near-duplicate removal (one survivor per dup cluster)
     pipe = DedupPipeline(spark, DedupConfig(), checkpoint_dir=args.checkpoint)
@@ -133,8 +157,23 @@ def main(argv=None) -> None:
         surv = hash_stratified_sample(
             surv, mix, key_col="url", strata_col="lang", default_rate=100
         )
+    # 5. PII redaction (opt-in: the one stage that changes text bytes)
+    if args.scrub_pii:
+        surv = pii_scrub(surv, id_col="url", keep_all=True)
+
     corpus = surv.localCheckpoint(eager=True)
     metrics["corpus"] = corpus.count()
+    if args.scrub_pii:
+        red = corpus.agg(
+            *[
+                F.sum(c).alias(c)
+                for c in ("n_email", "n_ipv4", "n_phone")
+            ]
+        ).first()
+        metrics["pii_redactions"] = {
+            c: int(red[c] or 0) for c in ("n_email", "n_ipv4", "n_phone")
+        }
+        corpus = corpus.drop("n_email", "n_ipv4", "n_phone")
 
     corpus.write.mode("overwrite").parquet(os.path.join(args.output, "corpus"))
     metrics["wall_sec"] = round(time.perf_counter() - t0, 3)

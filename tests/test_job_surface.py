@@ -26,6 +26,7 @@ def test_corpus_job_subprocess(tmp_path):
             "4",
             "--mix",
             "en=50",
+            "--scrub-pii",
         ],
         cwd=repo,
         stdout=subprocess.PIPE,
@@ -39,12 +40,17 @@ def test_corpus_job_subprocess(tmp_path):
     m = json.loads(json_lines[-1])
     assert (
         m["docs"]
+        >= m["after_url_dedup"]
         >= m["after_dedup"]
         >= m["after_boilerplate"]
         >= m["after_decontamination"]
         >= m["corpus"]
         > 0
     ), m
+    # --scrub-pii reports counts (the synthetic corpus carries no PII,
+    # so zeros — the stage itself ran and the count columns were
+    # aggregated and dropped from the output schema)
+    assert set(m["pii_redactions"]) == {"n_email", "n_ipv4", "n_phone"}, m
     # the synthetic benchmark slice is drawn from the corpus itself, so
     # decontamination must actually remove documents
     assert m["after_decontamination"] < m["after_boilerplate"], m
