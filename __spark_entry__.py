@@ -596,6 +596,40 @@ def q_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return passage_chunks(docs, chunk_tokens=64, stride=48)
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring dedup, detection half (Lee et al.
+    2022 style; operators/corpus_prep.py:duplicate_spans): corpus-
+    duplicated 8-token grams — every occurrence except the globally
+    first (smallest (id, pos)) — merged into maximal [start, end)
+    token spans per document via SQL island detection. Shape: one
+    map-side-combined aggregation keyed on the gram + a join back on
+    the same key, then a per-document window over ONLY the duplicated
+    positions (a small fraction of the corpus). This contract entry
+    runs ``hash_grams=False`` so the DuckDB replay is collision-free;
+    the production 8-byte ``xxhash64`` shuffle key is pinned equal by
+    ``tests/test_corpus_prep.py::test_dup_spans_hash_and_string_grams_agree``."""
+    from symspellpy_spark.operators.corpus_prep import duplicate_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    return duplicate_spans(docs, k=8, hash_grams=False)
+
+
+def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring dedup, excision half
+    (operators/corpus_prep.py:remove_duplicate_spans): documents with
+    their duplicated spans cut out, keep-first semantics — the
+    globally first occurrence of each duplicated passage survives
+    byte-identical, as does every untouched document (the pipeline's
+    byte-identical-text invariant). Pure Catalyst: merged spans
+    aggregate to one array per affected doc, left-join back on id
+    (AQE broadcasts the small side), excision is a filter/exists
+    higher-order expression over the token array — no Python."""
+    from symspellpy_spark.operators.corpus_prep import remove_duplicate_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, k=8, hash_grams=False)
+
+
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-URL dedup (operators/corpus_prep.py:url_dedup): URLs
     derived deterministically from doc_id (scheme/host-case, www.,
@@ -1297,6 +1331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_mix": q_data_mix,
         "gopher_repetition": q_gopher_repetition,
         "passage_chunks": q_passage_chunks,
+        "dup_spans": q_dup_spans,
+        "dup_span_removal": q_dup_span_removal,
         "url_dedup": q_url_dedup,
         "pii_scrub": q_pii_scrub,
         "text_quality": q_text_quality,
@@ -1653,6 +1689,52 @@ def _xxh64_long_cols(col: str) -> list[str]:
         f" ELSE CAST(xh7 AS HUGEINT) END AS BIGINT)",
     )
     return cols
+
+
+# Shared CTE prefix for the dup_spans / dup_span_removal oracles:
+# whitespace tokens -> 8-grams -> duplicated occurrences (all but the
+# globally first per gram, via row_number over (id, pos)) -> maximal
+# spans via the same island-detection window the Spark operator runs
+# (a position opens a new span iff it lies past the running max end).
+_DUP_SPANS_CTE = """
+    WITH tok AS (
+        SELECT doc_id AS id, string_split(text, ' ') AS ts
+        FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ),
+    grams AS (
+        SELECT id, i - 1 AS pos, array_to_string(ts[i:i+7], ' ') AS g
+        FROM (SELECT id, ts, unnest(generate_series(1, len(ts) - 7)) AS i
+              FROM tok WHERE len(ts) >= 8)
+    ),
+    dup AS (
+        SELECT id, pos FROM (
+            SELECT id, pos,
+                   row_number() OVER (PARTITION BY g ORDER BY id, pos)
+                       AS rn,
+                   count(*) OVER (PARTITION BY g) AS c
+            FROM grams)
+        WHERE c >= 2 AND rn > 1
+    ),
+    flagged AS (
+        SELECT id, pos, pos + 8 AS e,
+               CASE WHEN max(pos + 8) OVER w IS NULL
+                      OR pos > max(pos + 8) OVER w THEN 1 ELSE 0 END AS ns
+        FROM dup
+        WINDOW w AS (PARTITION BY id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    sp AS (
+        SELECT id, span_id, CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(e) AS BIGINT) AS span_end,
+               count(*) AS n_grams
+        FROM (SELECT id, pos, e,
+                     CAST(sum(ns) OVER (PARTITION BY id ORDER BY pos
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS BIGINT)
+                         AS span_id
+              FROM flagged)
+        GROUP BY id, span_id
+    )"""
 
 
 def _pii_scrub_oracle() -> str:
@@ -2090,6 +2172,33 @@ def oracle_sql() -> dict[str, str]:
            len(list_slice(ts, chunk_id * 48 + 1, chunk_id * 48 + 64))
                AS n_tokens
     FROM fanned""",
+        "dup_spans": _DUP_SPANS_CTE
+        + """
+    SELECT id, span_id, span_start, span_end, n_grams FROM sp""",
+        "dup_span_removal": _DUP_SPANS_CTE
+        + """,
+    tokpos AS (
+        SELECT id, ts, unnest(generate_series(1, len(ts))) AS i FROM tok
+    ),
+    kept AS (
+        SELECT p.id, p.i AS pos, p.ts[p.i] AS tok
+        FROM tokpos p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM sp s
+            WHERE s.id = p.id AND p.i - 1 >= s.span_start
+              AND p.i - 1 < s.span_end)
+    ),
+    agg AS (
+        SELECT id, string_agg(tok, ' ' ORDER BY pos) AS ct,
+               count(*) AS nk
+        FROM kept GROUP BY id
+    )
+    SELECT t.id,
+           coalesce(a.ct, '') AS clean_text,
+           CAST(len(t.ts) AS BIGINT) AS n_tokens,
+           CAST(len(t.ts) - coalesce(a.nk, 0) AS BIGINT)
+               AS n_tokens_removed
+    FROM tok t LEFT JOIN agg a USING (id)""",
         "url_dedup": """
     WITH urls AS (
         SELECT doc_id,

@@ -398,6 +398,27 @@ def main() -> None:
             n_pages / timings["corpus_prep_chunks_pii"], 1
         )
 
+        # --- span-level exact-substring dedup (Lee et al. style):
+        # corpus-duplicated 8-token grams -> keep-first flagging ->
+        # island-merge -> excision, over the full pages table (the
+        # near-dup variants share long base-doc spans, so the span
+        # structure is real, not hash noise); production xxhash64 gram
+        # keys ---
+        from symspellpy_spark.operators.corpus_prep import (
+            remove_duplicate_spans,
+        )
+
+        timed(
+            "dup_span_removal",
+            lambda: remove_duplicate_spans(
+                pages, k=8, id_col="url", text_col="text"
+            ).count(),
+        )
+        timings["dup_span_docs"] = n_pages
+        timings["dup_span_docs_per_sec"] = round(
+            n_pages / timings["dup_span_removal"], 1
+        )
+
         # --- winnowing local-match sweep (MOSS fingerprints -> pairs) ---
         from pyspark.sql import functions as F
 
@@ -527,6 +548,8 @@ def main() -> None:
         "en_scale",
         "corpus_prep_docs",
         "corpus_prep_docs_per_sec",
+        "dup_span_docs",
+        "dup_span_docs_per_sec",
         "winnowing_docs",
         "winnowing_docs_per_sec",
         "streaming_lsh_docs",

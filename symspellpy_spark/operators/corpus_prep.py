@@ -27,9 +27,16 @@ no Python, no UDF:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["passage_chunks", "canonicalize_url", "url_dedup", "pii_scrub"]
+__all__ = [
+    "passage_chunks",
+    "canonicalize_url",
+    "url_dedup",
+    "pii_scrub",
+    "duplicate_spans",
+    "remove_duplicate_spans",
+]
 
 # scheme://host[:port] prefix — everything up to the first /, ? or #.
 # Kept to the RE2 ∩ java.util.regex common subset (no lookaround, no
@@ -176,6 +183,163 @@ def pii_scrub(
         F.col(id_col).alias("id"),
         clean.alias("clean_text"),
         *counts,
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_grams: bool = True,
+    keep_first: bool = True,
+) -> DataFrame:
+    """-> (id, span_id, span_start, span_end, n_grams): maximal token
+    spans covered by corpus-duplicated k-grams, per document.
+
+    Span-level exact-substring dedup in the style of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"): a
+    k-token gram that occurs more than once ANYWHERE in the corpus
+    (across or within documents) marks every occurrence except — with
+    ``keep_first`` — the globally first one (smallest ``(id, pos)``),
+    so exactly one copy of each duplicated passage survives excision.
+    Overlapping/adjacent duplicated grams merge into maximal spans
+    ``[span_start, span_end)`` over 0-based token positions.
+
+    Shape (100 TB story):
+
+    - grams are one row per token ``(id 8B, pos 4B, gh 8B)``; with
+      ``hash_grams`` the shuffle key is the 8-byte ``xxhash64`` of the
+      gram text, never the string (collision odds at 64 bits are
+      negligible next to the 0.99-recall budget; the oracle runs
+      ``hash_grams=False`` so its replay is collision-free).
+    - ONE wide aggregation keyed on the gram (map-side combine;
+      ``min(struct(id, pos))`` + count — the same single-pass shape as
+      :func:`url_dedup`'s survivor rule) followed by the join back on
+      the same key, which Catalyst plans without a second exchange of
+      the aggregated side.
+    - only DUPLICATED occurrences (a small fraction of a crawl) reach
+      the per-document interval-merge window, which shuffles on ``id``.
+    - interval merge is SQL island detection, not a kernel: a position
+      opens a new span iff it lies past the running ``max(pos + k)`` of
+      everything before it; ``sum(new_span)`` numbers the islands.
+
+    Compare :func:`boilerplate_segments <symspellpy_spark.operators.dedup>`
+    (document-frequency over ALIGNED windows, a quality signal) — this
+    operator tracks arbitrary-offset exact duplication and feeds
+    :func:`remove_duplicate_spans`, which edits the text.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.split(F.col(text_col), " ").alias("ts"),
+        )
+        .where(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
+        .where(F.size("ts") >= k)
+    )
+    grams = toks.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ts") - k),
+                lambda i: F.concat_ws(" ", F.slice("ts", i + 1, k)),
+            )
+        ).alias("pos", "g"),
+    )
+    key = F.xxhash64("g") if hash_grams else F.col("g")
+    grams = grams.select("id", "pos", key.alias("gh"))
+    hot = (
+        grams.groupBy("gh")
+        .agg(F.min(F.struct("id", "pos")).alias("first"), F.count("*").alias("n"))
+        .where(F.col("n") >= 2)
+    )
+    dup = grams.join(hot, "gh")
+    if keep_first:
+        dup = dup.where(
+            (F.col("id") != F.col("first.id")) | (F.col("pos") != F.col("first.pos"))
+        )
+    w = Window.partitionBy("id").orderBy("pos")
+    prev_max_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = (
+        dup.select("id", "pos", (F.col("pos") + k).alias("e"))
+        .withColumn(
+            "new_span",
+            F.when(prev_max_end.isNull() | (F.col("pos") > prev_max_end), 1).otherwise(
+                0
+            ),
+        )
+        .withColumn(
+            "span_id",
+            F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return flagged.groupBy("id", "span_id").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        F.max("e").cast("long").alias("span_end"),
+        F.count("*").alias("n_grams"),
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    spans: DataFrame | None = None,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_grams: bool = True,
+) -> DataFrame:
+    """-> (id, clean_text, n_tokens, n_tokens_removed): documents with
+    their :func:`duplicate_spans` excised (keep-first semantics: the
+    globally first occurrence of each duplicated passage survives).
+
+    Pure Catalyst: the merged spans aggregate to one
+    ``array<struct<span_start, span_end>>`` per affected document
+    (bounded by ``n_tokens / 1`` but in practice tiny), left-join back
+    on ``id`` (AQE broadcasts the small span side), and the excision is
+    a ``filter``/``exists`` higher-order expression over the token
+    array — no Python. Documents with no duplicated span pass through
+    byte-identical (``clean_text = text``), preserving the pipeline's
+    byte-identical-text invariant for survivors.
+    """
+    if spans is None:
+        spans = duplicate_spans(
+            docs, k=k, id_col=id_col, text_col=text_col, hash_grams=hash_grams
+        )
+    sp = spans.groupBy("id").agg(
+        F.sort_array(F.collect_list(F.struct("span_start", "span_end"))).alias("sps")
+    )
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.split(F.col(text_col), " ").alias("ts"),
+    ).where(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
+    kept = F.filter(
+        F.zip_with(
+            F.col("ts"),
+            F.sequence(F.lit(0), F.size("ts") - 1),
+            lambda t, i: F.struct(t.alias("t"), i.alias("p")),
+        ),
+        lambda x: ~F.exists(
+            F.col("sps"),
+            lambda s: (x["p"] >= s["span_start"]) & (x["p"] < s["span_end"]),
+        ),
+    )
+    no_spans = F.col("sps").isNull()
+    return (
+        base.join(sp, "id", "left")
+        .withColumn("kept", kept)
+        .select(
+            "id",
+            F.when(no_spans, F.array_join("ts", " "))
+            .otherwise(F.array_join(F.transform("kept", lambda x: x["t"]), " "))
+            .alias("clean_text"),
+            F.size("ts").cast("long").alias("n_tokens"),
+            F.when(no_spans, F.lit(0))
+            .otherwise(F.size("ts") - F.size("kept"))
+            .cast("long")
+            .alias("n_tokens_removed"),
+        )
     )
 
 

@@ -8,8 +8,10 @@ from pyspark.sql import functions as F
 
 from symspellpy_spark.operators.corpus_prep import (
     canonicalize_url,
+    duplicate_spans,
     passage_chunks,
     pii_scrub,
+    remove_duplicate_spans,
     url_dedup,
 )
 
@@ -139,6 +141,130 @@ def test_pii_scrub_plan_is_narrow(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     plan = pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------- dup spans
+
+
+def _py_dup_spans(docs, k, keep_first=True):
+    """Brute-force oracle: duplicated-gram occurrences (minus the
+    globally first per gram under keep_first) merged into maximal
+    [start, end) token spans, numbered per doc in position order."""
+    occ = {}
+    for i, t in docs:
+        ts = t.split(" ")
+        for p in range(len(ts) - k + 1):
+            occ.setdefault(" ".join(ts[p : p + k]), []).append((i, p))
+    dup = set()
+    for lst in occ.values():
+        if len(lst) >= 2:
+            dup.update(sorted(lst)[1 if keep_first else 0 :])
+    per_doc = {}
+    for i, p in sorted(dup):
+        per_doc.setdefault(i, []).append(p)
+    out = []
+    for i, ps in per_doc.items():
+        sid, cur_s, cur_e, n = 1, ps[0], ps[0] + k, 1
+        for p in ps[1:]:
+            if p > cur_e:
+                out.append((i, sid, cur_s, cur_e, n))
+                sid, cur_s, cur_e, n = sid + 1, p, p + k, 1
+            else:
+                cur_e, n = max(cur_e, p + k), n + 1
+        out.append((i, sid, cur_s, cur_e, n))
+    return sorted(out)
+
+
+_DUP_DOCS = [
+    # doc 1 and 3 share an 8-token boilerplate; doc 3 also repeats a
+    # passage WITHIN itself; doc 4 is shorter than k; doc 5 is unique
+    (1, "subscribe to our newsletter for all the latest a b c d"),
+    (3, "x y subscribe to our newsletter for all the latest z "
+        "subscribe to our newsletter for all the latest"),
+    (4, "too short"),
+    (5, " ".join(f"u{i}" for i in range(20))),
+]
+
+
+def _spark_spans(spark, docs, k, **kw):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = duplicate_spans(df, k=k, **kw).collect()
+    return sorted(
+        (r["id"], r["span_id"], r["span_start"], r["span_end"], r["n_grams"])
+        for r in rows
+    )
+
+
+def test_dup_spans_matches_bruteforce(spark):
+    for k in (3, 8):
+        assert _spark_spans(spark, _DUP_DOCS, k) == _py_dup_spans(
+            _DUP_DOCS, k
+        ), k
+
+
+def test_dup_spans_keep_first_leaves_one_copy(spark):
+    got = _spark_spans(spark, _DUP_DOCS, 8)
+    # doc 1 (the globally first occurrence: smallest id) keeps its copy;
+    # both of doc 3's occurrences are flagged
+    assert all(i != 1 for i, *_ in got)
+    assert {i for i, *_ in got} == {3}
+    # keep_first=False flags every occurrence, including doc 1's
+    got_all = _spark_spans(spark, _DUP_DOCS, 8, keep_first=False)
+    assert {i for i, *_ in got_all} == {1, 3}
+    assert got_all == _py_dup_spans(_DUP_DOCS, 8, keep_first=False)
+
+
+def test_dup_spans_hash_and_string_grams_agree(spark):
+    assert _spark_spans(spark, _DUP_DOCS, 4, hash_grams=True) == _spark_spans(
+        spark, _DUP_DOCS, 4, hash_grams=False
+    )
+
+
+def test_dup_spans_overlapping_grams_merge(spark):
+    # a 10-token shared passage with k=4 yields 7 duplicated grams in
+    # doc 7 that must merge into ONE maximal span covering all 10 tokens
+    shared = " ".join(f"s{i}" for i in range(10))
+    docs = [(6, shared + " tail6"), (7, "head7 " + shared)]
+    got = _spark_spans(spark, docs, 4)
+    assert got == [(7, 1, 1, 11, 7)]
+
+
+def test_remove_dup_spans_reconstructs_text(spark):
+    df = spark.createDataFrame(_DUP_DOCS, "doc_id long, text string")
+    rows = {r["id"]: r for r in remove_duplicate_spans(df, k=8).collect()}
+    # doc 1: first occurrence survives byte-identical
+    assert rows[1]["clean_text"] == _DUP_DOCS[0][1]
+    assert rows[1]["n_tokens_removed"] == 0
+    # doc 3: both flagged passages excised, surrounding tokens survive
+    spans = {
+        (s, e)
+        for i, _, s, e, _ in _py_dup_spans(_DUP_DOCS, 8)
+        if i == 3
+    }
+    ts = _DUP_DOCS[1][1].split(" ")
+    expect = " ".join(
+        t
+        for p, t in enumerate(ts)
+        if not any(s <= p < e for s, e in spans)
+    )
+    assert rows[3]["clean_text"] == expect
+    assert rows[3]["n_tokens_removed"] == sum(e - s for s, e in spans)
+    # untouched docs pass through byte-identical with 0 removed
+    assert rows[4]["clean_text"] == "too short"
+    assert rows[5]["n_tokens_removed"] == 0
+    assert rows[5]["clean_text"] == _DUP_DOCS[3][1]
+
+
+def test_dup_spans_plan_has_no_cartesian(spark):
+    df = spark.createDataFrame(_DUP_DOCS, "doc_id long, text string")
+    plan = (
+        remove_duplicate_spans(df, k=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
 
 
 def test_chunks_plan_is_narrow(spark):
