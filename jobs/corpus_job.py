@@ -8,6 +8,7 @@ composed entirely from this engine's operators:
           --(boilerplate_segments)--> drop boilerplate-heavy docs
           --(ngram_contamination)--> drop benchmark-contaminated docs
           --(hash_stratified_sample)--> per-language mixture
+          --(remove_duplicate_spans, opt-in --dedup-spans K)--> span-cut text
           --(pii_scrub, opt-in --scrub-pii)--> redacted text
           --> corpus/ parquet (+ one JSON metrics line on stdout)
 
@@ -46,6 +47,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from symspellpy_spark.operators.corpus_prep import (  # noqa: E402
     pii_scrub,
+    remove_duplicate_spans,
     url_dedup,
 )
 from symspellpy_spark.operators.dedup import (  # noqa: E402
@@ -92,6 +94,17 @@ def main(argv=None) -> None:
     ap.add_argument("--contam-grams", type=int, default=8)
     ap.add_argument("--seg-len", type=int, default=8)
     ap.add_argument("--min-docs", type=int, default=2)
+    ap.add_argument(
+        "--dedup-spans",
+        type=int,
+        default=0,
+        metavar="K",
+        help="excise corpus-duplicated K-token spans from surviving "
+        "docs (Lee et al.-style exact-substring dedup; keep-first "
+        "occurrence survives). Like --scrub-pii this changes text "
+        "bytes BY DESIGN, so it is opt-in; removed-token counts land "
+        "in the metrics line",
+    )
     ap.add_argument(
         "--scrub-pii",
         action="store_true",
@@ -157,7 +170,28 @@ def main(argv=None) -> None:
         surv = hash_stratified_sample(
             surv, mix, key_col="url", strata_col="lang", default_rate=100
         )
-    # 5. PII redaction (opt-in: the one stage that changes text bytes)
+    # 5. duplicated-span excision (opt-in byte-changing stage: doc-level
+    # dedup keeps partial-overlap documents whole; this cuts the shared
+    # passages out of them, keep-first occurrence surviving)
+    if args.dedup_spans:
+        cl = remove_duplicate_spans(
+            surv, k=args.dedup_spans, id_col="url"
+        ).select(
+            F.col("id").alias("url"),
+            "clean_text",
+            "n_tokens_removed",
+        )
+        surv = (
+            surv.join(cl, "url", "left")
+            .withColumn("text", F.coalesce("clean_text", "text"))
+            .drop("clean_text")
+        )
+        metrics["span_tokens_removed"] = int(
+            surv.agg(F.sum("n_tokens_removed")).first()[0] or 0
+        )
+        surv = surv.drop("n_tokens_removed")
+
+    # 6. PII redaction (opt-in: the other stage that changes text bytes)
     if args.scrub_pii:
         surv = pii_scrub(surv, id_col="url", keep_all=True)
 

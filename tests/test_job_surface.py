@@ -27,6 +27,8 @@ def test_corpus_job_subprocess(tmp_path):
             "--mix",
             "en=50",
             "--scrub-pii",
+            "--dedup-spans",
+            "8",
         ],
         cwd=repo,
         stdout=subprocess.PIPE,
@@ -51,6 +53,10 @@ def test_corpus_job_subprocess(tmp_path):
     # so zeros — the stage itself ran and the count columns were
     # aggregated and dropped from the output schema)
     assert set(m["pii_redactions"]) == {"n_email", "n_ipv4", "n_phone"}, m
+    # --dedup-spans ran and reported its removed-token count (the
+    # doc-level dedup may or may not leave shared spans behind at this
+    # corpus size, so the count is only required to be present + sane)
+    assert m["span_tokens_removed"] >= 0, m
     # the synthetic benchmark slice is drawn from the corpus itself, so
     # decontamination must actually remove documents
     assert m["after_decontamination"] < m["after_boilerplate"], m
