@@ -186,10 +186,9 @@ def main(argv=None) -> None:
             .withColumn("text", F.coalesce("clean_text", "text"))
             .drop("clean_text")
         )
-        metrics["span_tokens_removed"] = int(
-            surv.agg(F.sum("n_tokens_removed")).first()[0] or 0
-        )
-        surv = surv.drop("n_tokens_removed")
+        # n_tokens_removed rides along to the eager checkpoint below so
+        # the metric aggregates the CHECKPOINTED relation — an action
+        # here would execute the whole span-detection subplan twice
 
     # 6. PII redaction (opt-in: the other stage that changes text bytes)
     if args.scrub_pii:
@@ -197,6 +196,11 @@ def main(argv=None) -> None:
 
     corpus = surv.localCheckpoint(eager=True)
     metrics["corpus"] = corpus.count()
+    if args.dedup_spans:
+        metrics["span_tokens_removed"] = int(
+            corpus.agg(F.sum("n_tokens_removed")).first()[0] or 0
+        )
+        corpus = corpus.drop("n_tokens_removed")
     if args.scrub_pii:
         red = corpus.agg(
             *[

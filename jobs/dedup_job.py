@@ -104,11 +104,11 @@ def main(argv=None) -> None:
     out["edges"].write.mode("overwrite").parquet(os.path.join(args.output, "edges"))
     n_surv = None
     if args.survivors:
-        surv = pipe.survivors(pages)
-        surv.write.mode("overwrite").parquet(
-            os.path.join(args.output, "survivors")
-        )
-        n_surv = surv.count()
+        surv_path = os.path.join(args.output, "survivors")
+        pipe.survivors(pages).write.mode("overwrite").parquet(surv_path)
+        # count the WRITTEN output: counting the logical plan would
+        # re-execute the canonical-selection join against pages
+        n_surv = spark.read.parquet(surv_path).count()
     # fresh metrics_df: the survivors metric (if any) lands after run()
     pipe.metrics_df().write.mode("overwrite").parquet(
         os.path.join(args.output, "metrics")

@@ -133,8 +133,13 @@ def merge_previous(result: dict) -> dict:
         for k in ("metric", "n_small", "n_big", "pipeline_docs")
     ):
         return result  # different configuration: no merge
-    if old.get("git_head") != result.get("git_head"):
-        # different code: merging per-workload bests would mix
+    if (
+        old.get("git_head") is None
+        or result.get("git_head") is None
+        or old.get("git_head") != result.get("git_head")
+    ):
+        # different code — or an UNKNOWN revision on either side (git
+        # absent/failed): merging per-workload bests would risk mixing
         # measurements of different engines — start fresh
         return result
     m = dict(result)

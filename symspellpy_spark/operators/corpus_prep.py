@@ -67,6 +67,12 @@ def passage_chunks(
     """
     if stride <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
+    if stride > chunk_tokens:
+        # a stride past the window would leave tokens in NO chunk and
+        # emit empty trailing chunks — both documented impossibilities
+        raise ValueError(
+            f"stride ({stride}) must be <= chunk_tokens ({chunk_tokens})"
+        )
     c, s = chunk_tokens, stride
     toks = docs.select(
         F.col(id_col).alias("id"),

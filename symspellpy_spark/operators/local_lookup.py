@@ -40,7 +40,10 @@ from symspellpy_spark.functions.distance import (
 )
 from symspellpy_spark.functions.text import case_transfer_similar_py
 from symspellpy_spark.operators.dictionary import SparkDictionary
-from symspellpy_spark.operators.neighborhood import fuzzy_index_broadcast
+from symspellpy_spark.operators.neighborhood import (
+    fuzzy_index_broadcast,
+    within_one as _within_one,
+)
 
 __all__ = ["lookup_batch_local"]
 
@@ -177,26 +180,9 @@ def lookup_batch_local(
         terms = index.terms if index is not None else None
 
         def within_one(a: str, b: str) -> bool:
-            la, lb = len(a), len(b)
-            if la == lb:
-                i = 0
-                while i < la and a[i] == b[i]:
-                    i += 1
-                if i == la or a[i + 1 :] == b[i + 1 :]:
-                    return True
-                return (
-                    transpositions
-                    and i + 1 < la
-                    and a[i] == b[i + 1]
-                    and a[i + 1] == b[i]
-                    and a[i + 2 :] == b[i + 2 :]
-                )
-            s, l = (a, b) if la < lb else (b, a)
-            i = 0
-            ls = len(s)
-            while i < ls and s[i] == l[i]:
-                i += 1
-            return s[i:] == l[i + 1 :]
+            # the shared exact d<=1 test (neighborhood.within_one),
+            # closed over this lookup's transposition setting
+            return _within_one(a, b, transpositions)
 
         def resolve_batch(todo: list) -> None:
             """cache[phrase] = verified [(term, dist, count), ...].

@@ -220,9 +220,17 @@ class FuzzyIndex:
         """
         nq = len(qlist)
         buf, lens = encode_key_rows(qlist, qlens)
-        vec = (qlens <= MAX_KEY_BYTES) & (lens == qlens)
-        # lens == qlens filters non-ASCII rows (utf-8 bytes > chars);
-        # an ASCII row always has byte length == char length
+        vec = (
+            (qlens <= MAX_KEY_BYTES)
+            & (lens == qlens)
+            & (buf < 128).all(axis=1)
+        )
+        # lens == qlens filters non-ASCII rows (utf-8 bytes > chars) —
+        # EXCEPT a non-ASCII query of exactly MAX_KEY_BYTES chars, whose
+        # truncated utf-8 row is also MAX_KEY_BYTES long; the byte scan
+        # catches that case (every byte of a multibyte utf-8 sequence has
+        # the high bit set), keeping such queries on the string path
+        # whose delete keys are real character deletions
         if vec.all():
             vrows = np.arange(nq, dtype=np.int64)
         else:

@@ -159,6 +159,22 @@ def test_d1_groups_vectorized_matches_string_hashing():
         assert set(utid[bounds[qi] : bounds[qi + 1]].tolist()) == cands, (qi, q)
 
 
+def test_d1_groups_non_ascii_at_max_key_bytes_boundary():
+    """A non-ASCII query of exactly MAX_KEY_BYTES CHARS truncates to
+    exactly MAX_KEY_BYTES utf-8 bytes, which used to fool the
+    ASCII-vectorizable mask (qlens <= MAX and lens == qlens) into
+    hashing byte-deletions of the truncated row instead of character
+    deletions; such queries must take the string path and find their
+    true distance-1 term."""
+    q = "é" * 32
+    term = "é" * 31  # one char deleted -> OSA distance 1
+    idx = build_fuzzy_index({term: 7, "abc": 3}, 2, 7)
+    qlens = np.array([len(q)], dtype=np.int64)
+    uqi, utid, bounds = idx.d1_groups([q], qlens)
+    got = {idx.terms[t] for t in utid[bounds[0] : bounds[1]].tolist()}
+    assert term in got
+
+
 def test_grouped_arange():
     starts = np.array([3, 10, 0], dtype=np.int64)
     sizes = np.array([2, 0, 3], dtype=np.int64)
