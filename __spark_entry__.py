@@ -3,8 +3,8 @@
 ``queries()`` exposes the engine's operator inventory (SURVEY.md §2 plus
 the training-data-pipeline ops) over the driver-generated testdata
 tables; ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL for every
-SQL-expressible entry. Non-SQL-expressible ops (per-document DP folds,
-hash-family signatures) are exposed without oracles -> rows-only check.
+entry — every exposed query has an exact oracle (per-document DP folds
+replay as recursive CTEs, the hash families as XXH64 SQL stage chains).
 
 Column names/types are aligned on both sides; float outputs are either
 single IEEE divisions of exact integers (bit-identical across engines)
@@ -1068,8 +1068,11 @@ def q_word_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_word_segmentation_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q4 fuzzy (d=1) word_segmentation: hoisted-lookup relational path
-    (rows-only check; live parity vs the reference is in pytest)."""
+    """Q4 fuzzy (d=1) word_segmentation: hoisted-lookup relational path,
+    oracle-checked — the DuckDB recursive-CTE prefix DP replays the
+    reference's relax loop with ``damerau_levenshtein`` candidate edges
+    (identical to OSA at threshold <= 1); live parity vs the reference
+    is additionally pinned in pytest."""
     docs = _read(spark, sf_dir, "documents")
     d = _dictionary(spark, sf_dir, DistanceAlgorithm.DAMERAU_OSA)
     return word_segmentation_batch(_glued_docs(docs), d, max_edit_distance=1).select(
@@ -2198,7 +2201,12 @@ def oracle_sql() -> dict[str, str]:
            CAST(len(t.ts) AS BIGINT) AS n_tokens,
            CAST(len(t.ts) - coalesce(a.nk, 0) AS BIGINT)
                AS n_tokens_removed
-    FROM tok t LEFT JOIN agg a USING (id)""",
+    FROM tok t LEFT JOIN agg a USING (id)
+    UNION ALL
+    SELECT doc_id AS id, text AS clean_text,
+           CAST(0 AS BIGINT) AS n_tokens,
+           CAST(0 AS BIGINT) AS n_tokens_removed
+    FROM documents WHERE text IS NULL OR length(text) = 0""",
         "url_dedup": """
     WITH urls AS (
         SELECT doc_id,

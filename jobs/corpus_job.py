@@ -174,6 +174,12 @@ def main(argv=None) -> None:
     # dedup keeps partial-overlap documents whole; this cuts the shared
     # passages out of them, keep-first occurrence surviving)
     if args.dedup_spans:
+        # materialize before branching: the span stage both consumes surv
+        # and joins back against it — without a checkpoint the whole
+        # upstream lineage (boilerplate/decontamination/mix on top of the
+        # stage-1 checkpoint) would execute once per branch unless
+        # Catalyst exchange reuse happened to fire
+        surv = surv.localCheckpoint(eager=True)
         cl = remove_duplicate_spans(
             surv, k=args.dedup_spans, id_col="url"
         ).select(

@@ -199,6 +199,7 @@ def duplicate_spans(
     text_col: str = "text",
     hash_grams: bool = True,
     keep_first: bool = True,
+    join_salt: int = 1,
 ) -> DataFrame:
     """-> (id, span_id, span_start, span_end, n_grams): maximal token
     spans covered by corpus-duplicated k-grams, per document.
@@ -224,6 +225,18 @@ def duplicate_spans(
       :func:`url_dedup`'s survivor rule) followed by the join back on
       the same key, which Catalyst plans without a second exchange of
       the aggregated side.
+    - join-back skew: the duplicated-gram aggregate is small at test
+      scale (AQE broadcasts it, measured single-exchange in PLANS.md),
+      but at 100 TB the hot set exceeds the broadcast threshold and the
+      join shuffles — then a ubiquitous boilerplate gram lands ALL its
+      occurrence rows in one partition. ``join_salt = S > 1`` is the
+      deterministic defense (the analogue of LSH's ``max_bucket_size``
+      for a join that must not drop rows): the aggregate side is
+      replicated S ways and each occurrence row picks a salt from
+      ``xxhash64(id, pos)``, spreading any single gram's occurrences
+      across S partitions for S x the (small) aggregate side. Results
+      are identical for any S; AQE's skew-join split is the runtime
+      complement for moderate skew.
     - only DUPLICATED occurrences (a small fraction of a crawl) reach
       the per-document interval-merge window, which shuffles on ``id``.
     - interval merge is SQL island detection, not a kernel: a position
@@ -261,7 +274,17 @@ def duplicate_spans(
         .agg(F.min(F.struct("id", "pos")).alias("first"), F.count("*").alias("n"))
         .where(F.col("n") >= 2)
     )
-    dup = grams.join(hot, "gh")
+    if join_salt > 1:
+        hot = hot.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(join_salt - 1)))
+        )
+        salted = grams.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64("id", "pos"), F.lit(join_salt)).cast("int"),
+        )
+        dup = salted.join(hot, ["gh", "_salt"]).drop("_salt")
+    else:
+        dup = grams.join(hot, "gh")
     if keep_first:
         dup = dup.where(
             (F.col("id") != F.col("first.id")) | (F.col("pos") != F.col("first.pos"))
@@ -305,8 +328,11 @@ def remove_duplicate_spans(
     (bounded by ``n_tokens / 1`` but in practice tiny), left-join back
     on ``id`` (AQE broadcasts the small span side), and the excision is
     a ``filter``/``exists`` higher-order expression over the token
-    array — no Python. Documents with no duplicated span pass through
-    byte-identical (``clean_text = text``), preserving the pipeline's
+    array — no Python. EVERY input document yields exactly one output
+    row: documents with no duplicated span pass through byte-identical
+    (``clean_text = text``), and null/empty-text documents — which can
+    contain no span — pass through with ``clean_text = text`` and
+    ``n_tokens = n_tokens_removed = 0``, preserving the pipeline's
     byte-identical-text invariant for survivors.
     """
     if spans is None:
@@ -332,7 +358,7 @@ def remove_duplicate_spans(
         ),
     )
     no_spans = F.col("sps").isNull()
-    return (
+    out = (
         base.join(sp, "id", "left")
         .withColumn("kept", kept)
         .select(
@@ -347,6 +373,17 @@ def remove_duplicate_spans(
             .alias("n_tokens_removed"),
         )
     )
+    # null/empty-text docs (excluded from tokenization above) pass
+    # through untouched instead of vanishing from the output
+    passthrough = docs.where(
+        F.col(text_col).isNull() | (F.length(text_col) == 0)
+    ).select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("clean_text"),
+        F.lit(0).cast("long").alias("n_tokens"),
+        F.lit(0).cast("long").alias("n_tokens_removed"),
+    )
+    return out.unionByName(passthrough)
 
 
 def url_dedup(

@@ -180,10 +180,23 @@ def ivf_fit_centroids(
     deterministic across runs/task retries, which would make centroids
     (hence every assignment) unstable; hash order also decorrelates the
     sample from ingestion order.
+
+    Scale: a ``pmod(hash, K) = 0`` pre-filter (K sized so ~4x the
+    sample survives) runs BEFORE the top-k, so the global sort ranks
+    ~4*sample rows instead of the whole corpus — at 10^9+ vectors the
+    full-corpus top-k was the only non-O(sample) step of training.
+    The filter is the same pure hash the ordering uses, so the result
+    stays a deterministic function of the data; with a small corpus
+    (n <= 4*sample) K=1 and the behavior is byte-identical to the
+    unfiltered path.
     """
+    n_corpus = corpus.count()
+    k_div = max(1, n_corpus // max(1, sample * 4))
+    h = F.xxhash64(F.col(vec_col).cast("string"))
     rows = (
-        corpus.select(vec_col)
-        .orderBy(F.xxhash64(F.col(vec_col).cast("string")))
+        corpus.select(F.col(vec_col), h.alias("_h"))
+        .where(F.pmod(F.col("_h"), F.lit(k_div)) == 0)
+        .orderBy("_h")
         .limit(sample)
         .toPandas()[vec_col]
         .tolist()

@@ -255,6 +255,29 @@ def test_remove_dup_spans_reconstructs_text(spark):
     assert rows[5]["clean_text"] == _DUP_DOCS[3][1]
 
 
+def test_remove_dup_spans_null_and_empty_pass_through(spark):
+    """Every input doc yields exactly one output row: null/empty text
+    passes through untouched (clean_text = text, 0 tokens removed)."""
+    docs = _DUP_DOCS + [(8, None), (9, "")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r["id"]: r for r in remove_duplicate_spans(df, k=8).collect()}
+    assert set(rows) == {1, 3, 4, 5, 8, 9}
+    assert rows[8]["clean_text"] is None
+    assert rows[9]["clean_text"] == ""
+    for i in (8, 9):
+        assert rows[i]["n_tokens"] == 0
+        assert rows[i]["n_tokens_removed"] == 0
+
+
+def test_dup_spans_join_salt_is_result_invariant(spark):
+    """The skew salt replicates the aggregate side only — results are
+    identical for any salt factor."""
+    for k in (4, 8):
+        assert _spark_spans(spark, _DUP_DOCS, k, join_salt=4) == _spark_spans(
+            spark, _DUP_DOCS, k
+        ), k
+
+
 def test_dup_spans_plan_has_no_cartesian(spark):
     df = spark.createDataFrame(_DUP_DOCS, "doc_id long, text string")
     plan = (
