@@ -583,6 +583,38 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL Gopher/MassiveText repetition family
+    (operators/quality.py:gopher_ngram_stats): top-{2,3,4}-gram and
+    duplicate-{5..10}-gram fractions in long form — one row per
+    (document, n) with exact integer counts and single-division
+    fractions, extending the single-n ``gopher_repetition`` pattern to
+    the published filter set. Shape: one fan-out explode bounded by
+    |ns| * doc_len, two map-side-combined aggregations, no self-join."""
+    from symspellpy_spark.operators.quality import gopher_ngram_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return gopher_ngram_stats(docs, token_re=TOKEN_RE).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def q_gopher_quality_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher repetition-filter verdict
+    (operators/quality.py:gopher_quality_filter): keep iff no signal
+    exceeds its published MassiveText threshold (top-{2,3,4}-gram
+    fraction, duplicate-{5..10}-gram fraction; strict-greater drop).
+    One rollup over the stats relation; docs too short for any n are
+    kept. The oracle regenerates the identical threshold CASE ladder
+    from the same GOPHER_THRESHOLDS constant."""
+    from symspellpy_spark.operators.quality import gopher_quality_filter
+
+    docs = _read(spark, sf_dir, "documents")
+    return gopher_quality_filter(docs, token_re=TOKEN_RE).select(
+        F.col("id").alias("doc_id"), F.col("keep").cast("int").alias("keep")
+    )
+
+
 def q_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping fixed-token passage windows per document
     (operators/corpus_prep.py:passage_chunks) — the chunking stage that
@@ -1333,6 +1365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "data_mix": q_data_mix,
         "gopher_repetition": q_gopher_repetition,
+        "gopher_ngram_stats": q_gopher_ngram_stats,
+        "gopher_quality_keep": q_gopher_quality_keep,
         "passage_chunks": q_passage_chunks,
         "dup_spans": q_dup_spans,
         "dup_span_removal": q_dup_span_removal,
@@ -1738,6 +1772,74 @@ _DUP_SPANS_CTE = """
               FROM flagged)
         GROUP BY id, span_id
     )"""
+
+
+def _gopher_stats_cte() -> str:
+    """Shared CTE for the gopher_ngram_stats / gopher_quality_keep
+    oracles: n fan-out, per-(doc, n, gram) counts, per-(doc, n) rollup —
+    the exact-integer replay of operators/quality.py:gopher_ngram_stats
+    with default ns=(2..10)."""
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS ts
+        FROM documents
+    ),
+    fan AS (
+        SELECT doc_id, ts, unnest([2,3,4,5,6,7,8,9,10]) AS n FROM tok
+    ),
+    gpos AS (
+        SELECT doc_id, n, ts, unnest(range(0, len(ts) - n + 1)) AS i
+        FROM fan WHERE len(ts) >= n
+    ),
+    cnt AS (
+        SELECT doc_id, n, array_to_string(ts[i+1 : i+n], ' ') AS g,
+               count(*) AS c
+        FROM gpos GROUP BY doc_id, n, g
+    ),
+    stats AS (
+        SELECT doc_id, CAST(n AS INTEGER) AS n,
+               CAST(sum(c) AS BIGINT) AS n_grams,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(max(c) AS BIGINT) AS top_count
+        FROM cnt GROUP BY doc_id, n
+    ),
+    frac AS (
+        SELECT doc_id, n, n_grams, n_distinct, top_count,
+               CAST(top_count AS DOUBLE) / CAST(n_grams AS DOUBLE)
+                   AS top_frac,
+               CAST(n_grams - n_distinct AS DOUBLE)
+                   / CAST(n_grams AS DOUBLE) AS dup_frac
+        FROM stats
+    )"""
+
+
+def _gopher_keep_oracle() -> str:
+    """gopher_quality_keep oracle: the threshold CASE ladder is
+    regenerated from the SAME GOPHER_THRESHOLDS constant the operator
+    reads, so operator and oracle cannot drift."""
+    from symspellpy_spark.operators.quality import GOPHER_THRESHOLDS
+
+    conds = [
+        f"(n = {n} AND top_frac > {t})"
+        for n, t in sorted(GOPHER_THRESHOLDS["top_frac"].items())
+    ] + [
+        f"(n = {n} AND dup_frac > {t})"
+        for n, t in sorted(GOPHER_THRESHOLDS["dup_frac"].items())
+    ]
+    ladder = " OR ".join(conds)
+    return (
+        _gopher_stats_cte()
+        + f""",
+    viol AS (
+        SELECT doc_id,
+               max(CASE WHEN {ladder} THEN 1 ELSE 0 END) AS v
+        FROM frac GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(CASE WHEN coalesce(v.v, 0) = 0 THEN 1 ELSE 0 END AS INTEGER)
+               AS keep
+    FROM documents d LEFT JOIN viol v USING (doc_id)"""
+    )
 
 
 def _pii_scrub_oracle() -> str:
@@ -2262,6 +2364,11 @@ def oracle_sql() -> dict[str, str]:
            count(*) AS n_dups
     FROM parts GROUP BY p || r""",
         "pii_scrub": _pii_scrub_oracle(),
+        "gopher_ngram_stats": _gopher_stats_cte()
+        + """
+    SELECT doc_id, n, n_grams, n_distinct, top_count, top_frac, dup_frac
+    FROM frac""",
+        "gopher_quality_keep": _gopher_keep_oracle(),
         "gopher_repetition": f"""
     WITH tok AS (
         SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS ts
