@@ -991,6 +991,117 @@ def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _drain_stream(spark: SparkSession, docs: DataFrame, run_fn, n_batches=6):
+    """Drain a docs relation through a file-source stream: write it as
+    ``n_batches`` parquet files, stream them back one file per trigger
+    (availableNow), run the incremental job to completion, and return
+    the (index_path, pairs_path) the job accumulated into."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="sgraft_stream_")
+    src = os.path.join(base, "src")
+    docs.repartition(n_batches, "doc_id").write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    idx = os.path.join(base, "idx")
+    pairs = os.path.join(base, "pairs")
+    ckpt = os.path.join(base, "ckpt")
+    q = run_fn(stream, idx, pairs, ckpt)
+    q.awaitTermination()
+    return idx, pairs
+
+
+def q_streaming_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming MinHash-LSH
+    (streaming/stream_dedup.py:run_incremental_lsh) drained to its
+    batch fixpoint, oracle-checked: the documents table streams in as
+    micro-batches, each batch's banded signatures probe the
+    accumulated band index (batch-vs-history, history never shuffles)
+    plus a batch-internal self-join, and new pairs append. The
+    accumulated candidate set is batching-invariant — any pair sharing
+    a band shares it whether the docs arrive together or epochs apart —
+    so after the same exact-Jaccard verify the drained stream must
+    EQUAL the batch operator's oracle (brute-force J >= 0.9 pairs, the
+    minhash_lsh_pairs SQL verbatim). Signature config is pinned to the
+    batch entry's via ``signatures_fn``."""
+    from symspellpy_spark.streaming.stream_dedup import run_incremental_lsh
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def sig_of(df: DataFrame) -> DataFrame:
+        toks = df.select(
+            F.col("doc_id").alias("id"),
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(TOKEN_RE), 0
+            ).alias("tokens"),
+        ).where(F.size("tokens") >= 3)
+        return minhash_signatures(shingles(toks, k=3))
+
+    _, pairs_path = _drain_stream(
+        spark,
+        docs,
+        lambda st, idx, pairs, ckpt: run_incremental_lsh(
+            spark,
+            st,
+            idx,
+            pairs,
+            bands=32,
+            num_perm=128,
+            checkpoint=ckpt,
+            compact_every=0,
+            signatures_fn=sig_of,
+            available_now=True,
+        ),
+    )
+    cand = spark.read.parquet(pairs_path).distinct()
+    return jaccard_verify(cand, sig_of(docs), threshold=0.9).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard"
+    )
+
+
+def q_streaming_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming winnowing
+    (streaming/stream_dedup.py:run_incremental_winnowing) drained to
+    its batch fixpoint, oracle-checked: each micro-batch's kernel
+    fingerprints append to the accumulated index after probing it; the
+    per-(id, fingerprint) index end-state is batching-invariant (each
+    doc streams exactly once, the kernel is per-document), so the
+    drained index must EQUAL the batch winnowing_xxhash oracle's
+    distinct (doc_id, fingerprint) set. Cap/compaction are sized out
+    of the way so the equality is exact."""
+    from symspellpy_spark.streaming.stream_dedup import (
+        run_incremental_winnowing,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    idx_path, _ = _drain_stream(
+        spark,
+        docs,
+        lambda st, idx, pairs, ckpt: run_incremental_winnowing(
+            spark,
+            st,
+            idx,
+            pairs,
+            k=8,
+            window=4,
+            id_col="doc_id",
+            text_col="text",
+            checkpoint=ckpt,
+            compact_every=0,
+            max_bucket_size=1 << 30,
+            available_now=True,
+        ),
+    )
+    return (
+        spark.read.parquet(idx_path)
+        .select(F.col("id").alias("doc_id"), "fingerprint")
+        .distinct()
+    )
+
+
 def q_compound_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3 lookup_compound on a deterministic slice, oracle-checked.
 
@@ -1382,6 +1493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "winnowing_xxhash": q_winnowing_xxhash,
         "winnowing_pairs": q_winnowing_pairs,
+        "streaming_lsh_pairs": q_streaming_lsh_pairs,
+        "streaming_winnow_fps": q_streaming_winnow_fps,
         "compound_correct": q_compound_correct,
         "compound_noisy": q_compound_noisy,
         "word_segmentation": q_word_segmentation,
@@ -2555,6 +2668,14 @@ def oracle_sql() -> dict[str, str]:
         # q_winnowing_xxhash): XXH64 SQL stage chain per gram.
         "winnowing_xxhash": _winnowing_xxh_oracle(),
         "winnowing_pairs": _winnowing_pairs_oracle(),
+        # drained-stream fixpoints: the accumulated end-state must equal
+        # the batch operator, so the batch oracles apply verbatim
+        "streaming_lsh_pairs": _ORACLE_GRAMS
+        + """
+    SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.9""",
+        "streaming_winnow_fps": f"""
+    SELECT DISTINCT doc_id, fingerprint
+    FROM ({_winnowing_xxh_oracle()}) wfp""",
         # Winnowing (see q_winnowing_fingerprints): same gram hashes,
         # window-min, rightmost tie, distinct selections.
         "winnowing_fingerprints": """

@@ -275,6 +275,8 @@ def run_incremental_lsh(
     num_perm: int = 128,
     checkpoint: str | None = None,
     compact_every: int = 16,
+    signatures_fn=None,
+    available_now: bool = False,
 ):
     """foreachBatch driver: each micro-batch's signatures are banded,
     joined against the accumulated band index (parquet), new candidate
@@ -290,6 +292,16 @@ def run_incremental_lsh(
     dropping all future pairs. Every ``compact_every`` epochs the
     append-only index is compacted (``compact_band_index``) so
     per-batch file-listing cost stops growing with batch count.
+
+    ``signatures_fn`` (batch DataFrame -> (id, minhash) DataFrame)
+    overrides the default tokenize+shingle+minhash stage so a caller
+    can pin the exact signature config of a batch run it must converge
+    to (the drained stream's accumulated pair set equals the batch
+    operator's candidate set for the same signatures, batching-
+    invariant). ``available_now`` runs with the availableNow trigger:
+    process everything already in the source (in maxFilesPerTrigger-
+    sized micro-batches), then stop — the drain mode the equivalence
+    tests and the contract entry use.
     """
     from symspellpy_spark.operators.dedup import _banded
 
@@ -299,7 +311,10 @@ def run_incremental_lsh(
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         sess = batch_df.sparkSession
-        sig = stream_signatures_batch(batch_df, num_perm=num_perm)
+        if signatures_fn is not None:
+            sig = signatures_fn(batch_df)
+        else:
+            sig = stream_signatures_batch(batch_df, num_perm=num_perm)
         # persist + explicit unpersist, NOT localCheckpoint: checkpoint
         # RDD blocks are never context-cleaned in long-lived sessions
         # (see scoped_cache.py), so a per-micro-batch checkpoint accretes
@@ -340,6 +355,8 @@ def run_incremental_lsh(
             compact_band_index(sess, index_path)
 
     writer = pages_stream.writeStream.foreachBatch(process)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
@@ -357,6 +374,7 @@ def run_incremental_winnowing(
     checkpoint: str | None = None,
     compact_every: int = 16,
     max_bucket_size: int = 1000,
+    available_now: bool = False,
 ):
     """foreachBatch driver: the streaming shape of
     :func:`~symspellpy_spark.operators.dedup.winnowing_candidate_pairs`
@@ -436,6 +454,8 @@ def run_incremental_winnowing(
             )
 
     writer = pages_stream.writeStream.foreachBatch(process)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
