@@ -215,15 +215,10 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.join(groups, "text_md5").select("doc_id", "group_id", "n_dups")
 
 
-def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-3-gram Jaccard pairs (brute-force near-dup baseline).
-
-    Explode->equi-join-on-gram->count shape: only docs sharing a gram
-    ever pair up (vs. an O(n^2) cross join), the same plan a 100x corpus
-    needs. Gram strings are xxhash64'd before the shuffle so the join
-    keys are fixed-width longs.
-    """
-    docs = _read(spark, sf_dir, "documents")
+def _jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """Exact token-3-gram Jaccard pairs over ``docs`` (the relation the
+    ngram_jaccard_pairs / dedup_clusters / corpus_survivors entries
+    share): explode -> equi-join-on-gram -> count."""
     toks = docs.select(
         F.col("doc_id").alias("id"),
         F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0).alias(
@@ -254,6 +249,17 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") >= JACCARD_T)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-3-gram Jaccard pairs (brute-force near-dup baseline).
+
+    Explode->equi-join-on-gram->count shape: only docs sharing a gram
+    ever pair up (vs. an O(n^2) cross join), the same plan a 100x corpus
+    needs. Gram strings are xxhash64'd before the shuffle so the join
+    keys are fixed-width longs.
+    """
+    return _jaccard_pairs(_read(spark, sf_dir, "documents"))
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -662,18 +668,12 @@ def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_spans(docs, k=8, hash_grams=False)
 
 
-def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical-URL dedup (operators/corpus_prep.py:url_dedup): URLs
-    derived deterministically from doc_id (scheme/host-case, www.,
-    default-port, utm_*, fragment and trailing-slash variants), then
-    canonicalized with codegen regexp chains and reduced by ONE hash
-    aggregation — min-id survivor + dup count per canonical URL. The
-    oracle replays the same RE2∩Java pattern text in DuckDB."""
-    from symspellpy_spark.operators.corpus_prep import url_dedup
-
+def _synth_urls(docs: DataFrame) -> DataFrame:
+    """(doc_id, url): deterministic fetch-variant URLs from doc_id —
+    the synthesis the url_dedup and corpus_survivors entries share."""
     d = F.col("doc_id")
     page = d % 40  # ~12 fetch-variants of each logical page at sf0.01
-    urls = _read(spark, sf_dir, "documents").select(
+    return docs.select(
         "doc_id",
         F.concat(
             # noise dimensions vary by doc_id and all canonicalize away;
@@ -715,7 +715,77 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit("")),
         ).alias("url"),
     )
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup (operators/corpus_prep.py:url_dedup): URLs
+    derived deterministically from doc_id (scheme/host-case, www.,
+    default-port, utm_*, fragment and trailing-slash variants), then
+    canonicalized with codegen regexp chains and reduced by ONE hash
+    aggregation — min-id survivor + dup count per canonical URL. The
+    oracle replays the same RE2∩Java pattern text in DuckDB."""
+    from symspellpy_spark.operators.corpus_prep import url_dedup
+
+    urls = _synth_urls(_read(spark, sf_dir, "documents"))
     return url_dedup(urls, url_col="url", id_col="doc_id")
+
+
+def q_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus assembly (the jobs/corpus_job.py stage chain),
+    oracle-checked as ONE composition: canonical-URL dedup -> near-dup
+    survivors (exact-Jaccard edges + connected components + canonical
+    pick) -> boilerplate filter (ratio <= 0.5) -> benchmark
+    decontamination (8-gram overlap vs the src0 slice, drop any hit)
+    -> deterministic language-mixture sample. Every stage is
+    individually oracle-green elsewhere on this sheet; this entry pins
+    the COMPOSITION — survivor semantics and filter ordering across
+    left-semi joins — by replaying the whole chain as chained CTEs in
+    DuckDB (recursive CC, boilerplate rollup, contamination anti-join,
+    XXH64 mixture filter). Shape: each stage is a semi-join against a
+    small survivor relation; nothing rescans the corpus twice."""
+    from symspellpy_spark.operators.cluster import select_canonical
+    from symspellpy_spark.operators.corpus_prep import url_dedup
+    from symspellpy_spark.operators.dedup import (
+        boilerplate_segments,
+        ngram_contamination,
+    )
+    from symspellpy_spark.operators.sampling import hash_stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    # 0. canonical-URL dedup (min-id survivor per canonical URL)
+    surv0 = url_dedup(
+        _synth_urls(docs), url_col="url", id_col="doc_id"
+    ).select(F.col("survivor_id").alias("doc_id"))
+    d1 = docs.join(surv0, "doc_id", "left_semi")
+    # 1. near-dup survivors over the remaining set
+    clusters = connected_components(
+        _jaccard_pairs(d1), id_a="doc_a", id_b="doc_b"
+    ).select(F.col("id").alias("doc_id"), "cluster_id")
+    d2 = docs.join(
+        select_canonical(d1, clusters, id_col="doc_id").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    # 2. boilerplate filter (CCNet-style repeated segments within d2)
+    bp = boilerplate_segments(d2, seg_len=8, min_docs=2, token_re=TOKEN_RE)
+    d3 = d2.join(
+        bp.where(F.col("boiler_ratio") <= 0.5).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    # 3. decontamination: benchmark = src0 docs of the ORIGINAL table
+    contam = ngram_contamination(
+        d3, docs.where(F.col("source") == "src0"), n=8, token_re=TOKEN_RE
+    )
+    d4 = d3.join(
+        contam.where(F.col("n_contaminated") == 0).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    # 4. deterministic language mixture
+    return hash_stratified_sample(
+        d4, _MIX_RATES, key_col="doc_id", strata_col="lang"
+    ).select("doc_id", "lang", "source")
 
 
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1482,6 +1552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "dup_span_removal": q_dup_span_removal,
         "url_dedup": q_url_dedup,
+        "corpus_survivors": q_corpus_survivors,
         "pii_scrub": q_pii_scrub,
         "text_quality": q_text_quality,
         "langid": q_langid,
@@ -1885,6 +1956,161 @@ _DUP_SPANS_CTE = """
               FROM flagged)
         GROUP BY id, span_id
     )"""
+
+
+# Shared CTE body for the url_dedup / corpus_survivors oracles: the
+# deterministic fetch-variant URL synthesis (_synth_urls) and its
+# canonicalization split into scheme/host prefix `p` + rest `r`.
+_URL_PARTS_CTE = """urls AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://'
+                     ELSE 'https://' END)
+               || (CASE WHEN doc_id % 5 = 0 THEN 'WWW.Site'
+                        ELSE 'site' END)
+               || cast((doc_id % 40) % 5 AS varchar) || '.Example.COM'
+               || (CASE WHEN doc_id % 4 = 0 THEN ':443'
+                        WHEN doc_id % 16 = 1 THEN ':8080'
+                        ELSE '' END)
+               || '/Articles/' || cast(doc_id % 40 AS varchar)
+               || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+               || (CASE WHEN (doc_id % 40) % 2 = 0 THEN
+                       CASE WHEN doc_id % 3 = 1
+                            THEN '?utm_source=feed&ref='
+                                 || cast((doc_id % 40) % 4 AS varchar)
+                            ELSE '?ref='
+                                 || cast((doc_id % 40) % 4 AS varchar)
+                                 || (CASE WHEN doc_id % 3 = 2
+                                          THEN '&utm_campaign=x'
+                                          ELSE '' END)
+                       END
+                   ELSE '' END)
+               || (CASE WHEN doc_id % 6 IN (1, 2)
+                        THEN '#Sec-' || cast(doc_id % 3 AS varchar)
+                        ELSE '' END) AS url
+        FROM documents
+    ),
+    pfx AS (
+        SELECT doc_id, url,
+               regexp_extract(url,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0) AS p0
+        FROM urls
+    ),
+    parts AS (
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(lower(p0), '://www\\.', '://'),
+                   ':(80|443)$', '') AS p,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(
+                               substring(url, length(p0) + 1),
+                               '#.*$', ''),
+                           'utm_[a-z_]+=[^&#]*&?', '', 'g'),
+                       '[?&]+$', ''),
+                   '/+$', '') AS r
+        FROM pfx
+    )"""
+
+
+def _corpus_survivors_oracle() -> str:
+    """The q_corpus_survivors replay: one WITH RECURSIVE chain — URL
+    canonicalization -> min-id survivors (s0/d1) -> 3-gram Jaccard
+    edges + recursive connected components + longest-text canonical
+    pick (s1/d2) -> boilerplate ratio filter (s2/d3) -> 8-gram
+    benchmark-overlap decontamination (d4) -> XXH64(doc_id) mixture
+    filter. Stage bodies are the SAME SQL the per-stage oracles run,
+    retargeted at each stage's survivor relation."""
+    grams_d1 = _ORACLE_GRAMS_BODY.replace("FROM documents", "FROM d1")
+    inner = "SELECT doc_id, lang, source FROM d4"
+    for c in _xxh64_long_cols("doc_id"):
+        inner = f"SELECT *, {c} FROM ({inner})"
+    ladder = " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(_MIX_RATES.items())
+    )
+    return f"""
+    WITH RECURSIVE {_URL_PARTS_CTE},
+    s0 AS (SELECT min(doc_id) AS doc_id FROM parts GROUP BY p || r),
+    d1 AS (SELECT d.* FROM documents d JOIN s0 USING (doc_id)),
+    {grams_d1},
+    e0 AS (SELECT doc_a AS a, doc_b AS b FROM jac
+           WHERE jaccard >= {JACCARD_T}),
+    edges AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+    ),
+    clus AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+    ranked AS (
+        SELECT c.doc_id,
+               row_number() OVER (
+                   PARTITION BY c.cluster_id
+                   ORDER BY length(d.text) DESC, c.doc_id ASC
+               ) AS rn
+        FROM clus c JOIN d1 d USING (doc_id)
+    ),
+    s1 AS (
+        SELECT doc_id FROM d1 WHERE doc_id NOT IN (SELECT doc_id FROM clus)
+        UNION ALL
+        SELECT doc_id FROM ranked WHERE rn = 1
+    ),
+    d2 AS (SELECT d.* FROM d1 d JOIN s1 USING (doc_id)),
+    tok2 AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS ts
+        FROM d2
+    ),
+    segs AS (
+        SELECT doc_id, array_to_string(ts[i*8+1 : i*8+8], ' ') AS seg
+        FROM (SELECT doc_id, ts, unnest(range(0, len(ts) // 8)) AS i
+              FROM tok2 WHERE len(ts) >= 8)
+    ),
+    dfreq AS (
+        SELECT seg, count(DISTINCT doc_id) AS seg_df FROM segs GROUP BY seg
+    ),
+    perdoc AS (
+        SELECT doc_id, count(*) AS n_segments,
+               sum(CASE WHEN seg_df >= 2 THEN 1 ELSE 0 END) AS n_boiler
+        FROM segs JOIN dfreq USING (seg) GROUP BY doc_id
+    ),
+    s2 AS (
+        SELECT t.doc_id FROM tok2 t LEFT JOIN perdoc p USING (doc_id)
+        WHERE (CASE WHEN COALESCE(p.n_segments, 0) = 0 THEN 0.0
+                    ELSE CAST(p.n_boiler AS DOUBLE)
+                         / CAST(p.n_segments AS DOUBLE) END) <= 0.5
+    ),
+    d3 AS (SELECT d.* FROM d2 d JOIN s2 USING (doc_id)),
+    btok AS (
+        SELECT regexp_extract_all(lower(text), '{TOKEN_RE}') AS ts
+        FROM documents WHERE source = 'src0'
+    ),
+    bg AS (
+        SELECT DISTINCT array_to_string(ts[i+1 : i+8], ' ') AS gram
+        FROM (SELECT ts, unnest(range(0, len(ts) - 7)) AS i
+              FROM btok WHERE len(ts) >= 8)
+    ),
+    ttok AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS ts
+        FROM d3
+    ),
+    tg AS (
+        SELECT doc_id, array_to_string(ts[i+1 : i+8], ' ') AS gram
+        FROM (SELECT doc_id, ts, unnest(range(0, len(ts) - 7)) AS i
+              FROM ttok WHERE len(ts) >= 8)
+    ),
+    cagg AS (
+        SELECT doc_id,
+               sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_cont
+        FROM tg LEFT JOIN bg b USING (gram) GROUP BY doc_id
+    ),
+    d4 AS (
+        SELECT d.doc_id, d.lang, d.source
+        FROM d3 d LEFT JOIN cagg c USING (doc_id)
+        WHERE COALESCE(c.n_cont, 0) = 0
+    )
+    SELECT doc_id, lang, source FROM ({inner})
+    WHERE ((xxh_signed % 100) + 100) % 100 < (CASE {ladder} ELSE 0 END)"""
 
 
 def _gopher_stats_cte() -> str:
@@ -2422,60 +2648,13 @@ def oracle_sql() -> dict[str, str]:
            CAST(0 AS BIGINT) AS n_tokens,
            CAST(0 AS BIGINT) AS n_tokens_removed
     FROM documents WHERE text IS NULL OR length(text) = 0""",
-        "url_dedup": """
-    WITH urls AS (
-        SELECT doc_id,
-               (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://'
-                     ELSE 'https://' END)
-               || (CASE WHEN doc_id % 5 = 0 THEN 'WWW.Site'
-                        ELSE 'site' END)
-               || cast((doc_id % 40) % 5 AS varchar) || '.Example.COM'
-               || (CASE WHEN doc_id % 4 = 0 THEN ':443'
-                        WHEN doc_id % 16 = 1 THEN ':8080'
-                        ELSE '' END)
-               || '/Articles/' || cast(doc_id % 40 AS varchar)
-               || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
-               || (CASE WHEN (doc_id % 40) % 2 = 0 THEN
-                       CASE WHEN doc_id % 3 = 1
-                            THEN '?utm_source=feed&ref='
-                                 || cast((doc_id % 40) % 4 AS varchar)
-                            ELSE '?ref='
-                                 || cast((doc_id % 40) % 4 AS varchar)
-                                 || (CASE WHEN doc_id % 3 = 2
-                                          THEN '&utm_campaign=x'
-                                          ELSE '' END)
-                       END
-                   ELSE '' END)
-               || (CASE WHEN doc_id % 6 IN (1, 2)
-                        THEN '#Sec-' || cast(doc_id % 3 AS varchar)
-                        ELSE '' END) AS url
-        FROM documents
-    ),
-    pfx AS (
-        SELECT doc_id, url,
-               regexp_extract(url,
-                   '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0) AS p0
-        FROM urls
-    ),
-    parts AS (
-        SELECT doc_id,
-               regexp_replace(
-                   regexp_replace(lower(p0), '://www\\.', '://'),
-                   ':(80|443)$', '') AS p,
-               regexp_replace(
-                   regexp_replace(
-                       regexp_replace(
-                           regexp_replace(
-                               substring(url, length(p0) + 1),
-                               '#.*$', ''),
-                           'utm_[a-z_]+=[^&#]*&?', '', 'g'),
-                       '[?&]+$', ''),
-                   '/+$', '') AS r
-        FROM pfx
-    )
+        "url_dedup": "\n    WITH "
+        + _URL_PARTS_CTE
+        + """
     SELECT p || r AS canonical_url, min(doc_id) AS survivor_id,
            count(*) AS n_dups
     FROM parts GROUP BY p || r""",
+        "corpus_survivors": _corpus_survivors_oracle(),
         "pii_scrub": _pii_scrub_oracle(),
         "gopher_ngram_stats": _gopher_stats_cte()
         + """
