@@ -57,6 +57,25 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from symspellpy_spark.session import get_spark  # noqa: E402
 
 
+def host_bw_probe(seconds: float = 5.0) -> int:
+    """Single-worker memory-bandwidth probe (the BASELINE.md protocol:
+    stream a 64MB uint64 array through a multiply+min for ``seconds``;
+    healthy reference reading ~454 reps at 5s). Reported as
+    ``host_bw_reps`` in the JSON line so every bench artifact carries
+    its own host-health context — cross-run comparisons are only
+    meaningful between runs whose probes read similarly (the round-3
+    pipeline 'regression' tracked a probe at 20-44% of healthy)."""
+    import numpy as np
+
+    a = np.arange(8 * 1024 * 1024, dtype=np.uint64)
+    t_end = time.time() + seconds
+    reps = 0
+    while time.time() < t_end:
+        (a * np.uint64(2862933555777941757)).min()
+        reps += 1
+    return int(reps * (5.0 / seconds))
+
+
 def run_pipeline(spark, pages, n_docs: int) -> dict[str, float]:
     from symspellpy_spark.plans.pipeline import DedupConfig, DedupPipeline
 
@@ -99,6 +118,9 @@ def main() -> None:
     # synth) — what scaling_bench measures; skipping the fixed-cost
     # workloads keeps multi-level scaling runs tractable
     only_pipeline = os.environ.get("BENCH_ONLY", "") == "pipeline"
+
+    # host-health stamp BEFORE Spark starts competing for the machine
+    bw_reps = host_bw_probe()
 
     spark = get_spark("bench", cores=cpus)
 
@@ -445,6 +467,27 @@ def main() -> None:
             n_win / timings["winnowing_pairs"], 1
         )
 
+        # --- full pipeline WITH the winnowing sweep enabled, over the
+        # same subset (use_winnowing adds the kernel fingerprint pass +
+        # one more capped bucket join to candidate generation; this
+        # entry prices that recall sweep end-to-end vs the default
+        # 4-source pipeline) ---
+        from symspellpy_spark.plans.pipeline import DedupConfig, DedupPipeline
+
+        def _run_winnow_pipeline():
+            pipe = DedupPipeline(
+                spark,
+                DedupConfig(use_winnowing=True, winnow_k=16, winnow_window=8),
+                collect_metrics=False,
+            )
+            return pipe.clusters(win_pages).count()
+
+        timed("pipeline_winnow", _run_winnow_pipeline)
+        timings["pipeline_winnow_docs"] = n_win
+        timings["pipeline_winnow_docs_per_sec"] = round(
+            n_win / timings["pipeline_winnow"], 1
+        )
+
         # --- streaming incremental LSH: drain the same corpus subset in 4
         # micro-batches (batch-vs-history band-index probe per batch) ---
         from symspellpy_spark.streaming.stream_dedup import run_incremental_lsh
@@ -552,6 +595,8 @@ def main() -> None:
         "dup_span_docs_per_sec",
         "winnowing_docs",
         "winnowing_docs_per_sec",
+        "pipeline_winnow_docs",
+        "pipeline_winnow_docs_per_sec",
         "streaming_lsh_docs",
         "streaming_lsh_docs_per_sec",
         "streaming_winnow_docs",
@@ -570,6 +615,7 @@ def main() -> None:
                 },
                 "sf": sf,
                 "cpus": cpus,
+                "host_bw_reps": bw_reps,
                 "pipeline_docs": n_pages,
                 "pipeline_reps": reps,
                 "pipeline_sec": best["pipeline_sec"],

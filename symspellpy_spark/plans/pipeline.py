@@ -457,6 +457,19 @@ class DedupPipeline:
         sig = self.signatures(pages)
         pairs = self.candidate_pairs(pages).localCheckpoint(eager=False)
         self._metric_count("candidates", pairs)
+        if self.collect_metrics:
+            # per-source recall contribution (a pair found by two
+            # sources counts toward both): one cheap agg over the
+            # checkpointed narrow pairs relation
+            for r in (
+                pairs.select(F.explode("sources").alias("source"))
+                .groupBy("source")
+                .count()
+                .collect()
+            ):
+                self._metric(
+                    "candidates", f"source_{r['source']}_pairs", r["count"]
+                )
         hashes_df = None
         if "shingle_hashes" not in sig.columns:
             # narrow checkpoint: re-derive the shingle sets in one

@@ -171,6 +171,37 @@ def test_winnowing_sweep_catches_partial_overlap(spark):
     assert "winnowing" in by_pair[want]
 
 
+def test_per_source_pair_metrics_recorded(spark):
+    """edges() records per-source candidate-pair counts in the metrics
+    table (source_<name>_pairs), so each sweep's recall contribution is
+    visible — including the winnowing sweep when enabled."""
+    import random
+
+    rng = random.Random(11)
+    al = "abcdefghij "
+
+    def rand_text(n):
+        return "".join(rng.choice(al) for _ in range(n))
+
+    shared = rand_text(30)
+    dup = rand_text(600)
+    rows = [
+        ("u1", rand_text(400) + shared + rand_text(400)),
+        ("u2", rand_text(350) + shared + rand_text(450)),
+        ("u3", dup),
+        ("u4", dup),  # exact dup: lsh/simhash/exact sources all fire
+    ] + [(f"u{i}", rand_text(800)) for i in range(5, 9)]
+    pages = spark.createDataFrame(rows, "url string, text string")
+    pipe = DedupPipeline(spark, DedupConfig(use_winnowing=True))
+    pipe.edges(pages).count()
+    by_metric = {
+        (m["stage"], m["metric"]): m["value"] for m in pipe.metrics
+    }
+    assert by_metric.get(("candidates", "source_winnowing_pairs"), 0) >= 1
+    assert by_metric.get(("candidates", "source_exact_pairs"), 0) >= 1
+    assert by_metric.get(("candidates", "source_minhash_lsh_pairs"), 0) >= 1
+
+
 def test_salted_cap_recovers_hot_band_candidates(spark, pages):
     """A bucket cap tight enough to drop hot bands loses candidate
     pairs; turning on the salted tier (salted_bucket_cap) recovers
