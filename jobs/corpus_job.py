@@ -6,6 +6,7 @@ composed entirely from this engine's operators:
     pages --(url_dedup)--> canonical-URL survivors (cheapest pass first)
           --(DedupPipeline)--> near-dup survivors
           --(boilerplate_segments)--> drop boilerplate-heavy docs
+          --(gopher_quality_filter, opt-in --gopher)--> drop repetitive docs
           --(ngram_contamination)--> drop benchmark-contaminated docs
           --(hash_stratified_sample)--> per-language mixture
           --(remove_duplicate_spans, opt-in --dedup-spans K)--> span-cut text
@@ -95,6 +96,13 @@ def main(argv=None) -> None:
     ap.add_argument("--seg-len", type=int, default=8)
     ap.add_argument("--min-docs", type=int, default=2)
     ap.add_argument(
+        "--gopher",
+        action="store_true",
+        help="drop docs failing the published Gopher/MassiveText "
+        "repetition thresholds (top-{2,3,4}-gram and dup-{5..10}-gram "
+        "fractions)",
+    )
+    ap.add_argument(
         "--dedup-spans",
         type=int,
         default=0,
@@ -155,6 +163,21 @@ def main(argv=None) -> None:
     keep_bp = bp.where(F.col("boiler_ratio") <= args.max_boiler).select("url")
     surv = surv.join(keep_bp, "url", "left_semi")
     metrics["after_boilerplate"] = surv.count()
+
+    # 2b. Gopher repetition filter (opt-in): degenerate/templated text
+    # is dropped on the published per-n thresholds — like boilerplate,
+    # a quality gate that runs before decontamination so the benchmark
+    # gram set only probes docs that can survive
+    if args.gopher:
+        from symspellpy_spark.operators.quality import gopher_quality_filter
+
+        keep_g = (
+            gopher_quality_filter(surv, id_col="url")
+            .where(F.col("keep"))
+            .select(F.col("id").alias("url"))
+        )
+        surv = surv.join(keep_g, "url", "left_semi")
+        metrics["after_gopher"] = surv.count()
 
     # 3. benchmark decontamination (drop any doc sharing an n-gram)
     contam = ngram_contamination(

@@ -27,6 +27,7 @@ def test_corpus_job_subprocess(tmp_path):
             "--mix",
             "en=50",
             "--scrub-pii",
+            "--gopher",
             "--dedup-spans",
             "8",
         ],
@@ -45,6 +46,7 @@ def test_corpus_job_subprocess(tmp_path):
         >= m["after_url_dedup"]
         >= m["after_dedup"]
         >= m["after_boilerplate"]
+        >= m["after_gopher"]
         >= m["after_decontamination"]
         >= m["corpus"]
         > 0
