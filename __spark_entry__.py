@@ -1172,6 +1172,111 @@ def q_streaming_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom STATEFUL streaming operator
+    (streaming/stream_dedup.py:streaming_simhash_pairs,
+    applyInPandasWithState) drained to its batch fixpoint,
+    oracle-checked: every SimHash bit-block bucket keeps its seen
+    (id, signature) pairs as group state and compares each arriving doc
+    against that state. With uncapped buckets the pigeonhole guarantee
+    makes the drained distinct pair set EQUAL the brute-force Hamming
+    ball — the simhash_pairs oracle verbatim (XXH64 SQL chain +
+    relational majority vote). Signature config pinned to the batch
+    entry's via ``sig_fn``; pairs emitted once per shared intact block
+    collapse under distinct."""
+    import tempfile
+    import uuid
+
+    from symspellpy_spark.streaming.stream_dedup import (
+        streaming_simhash_pairs,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="sgraft_stream_")
+    src = os.path.join(base, "src")
+    docs.repartition(6, "doc_id").write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def sig_of(df: DataFrame) -> DataFrame:
+        toks = df.select(
+            F.col("doc_id").alias("id"),
+            F.array_distinct(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(TOKEN_RE), 0
+                )
+            ).alias("tokens"),
+        ).where(F.size("tokens") >= 1)
+        return simhash_signatures(toks).select("id", "simhash")
+
+    pairs = streaming_simhash_pairs(
+        stream, max_hamming=8, max_bucket_size=1 << 30, sig_fn=sig_of
+    )
+    name = "simhash_drain_" + uuid.uuid4().hex
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .distinct()
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+    )
+
+
+def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup
+    (streaming/stream_dedup.py:streaming_exact_dedup): a watermarked
+    complete-mode aggregation keyed on md5(text) — first-seen url +
+    duplicate count per content hash, drained to its batch fixpoint
+    (event times span < the 1h watermark delay, so nothing is late and
+    the end-state equals the batch GROUP BY exactly)."""
+    import tempfile
+    import uuid
+
+    from symspellpy_spark.streaming.stream_dedup import (
+        streaming_exact_dedup,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"),
+        "text",
+        F.timestamp_seconds(F.pmod("doc_id", F.lit(3600))).alias("warc_ts"),
+    )
+    base = tempfile.mkdtemp(prefix="sgraft_stream_")
+    src = os.path.join(base, "src")
+    docs.write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src)
+    )
+    agg = streaming_exact_dedup(stream)
+    name = "exact_drain_" + uuid.uuid4().hex
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("text_md5", "first_url", "n_seen")
+
+
 def q_compound_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3 lookup_compound on a deterministic slice, oracle-checked.
 
@@ -1566,6 +1671,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_pairs": q_winnowing_pairs,
         "streaming_lsh_pairs": q_streaming_lsh_pairs,
         "streaming_winnow_fps": q_streaming_winnow_fps,
+        "streaming_simhash_pairs": q_streaming_simhash_pairs,
+        "streaming_exact_dedup": q_streaming_exact_dedup,
         "compound_correct": q_compound_correct,
         "compound_noisy": q_compound_noisy,
         "word_segmentation": q_word_segmentation,
@@ -2855,6 +2962,12 @@ def oracle_sql() -> dict[str, str]:
         "streaming_winnow_fps": f"""
     SELECT DISTINCT doc_id, fingerprint
     FROM ({_winnowing_xxh_oracle()}) wfp""",
+        "streaming_simhash_pairs": _simhash_xxh_oracle(),
+        "streaming_exact_dedup": """
+    SELECT md5(text) AS text_md5,
+           min(CAST(doc_id AS VARCHAR)) AS first_url,
+           count(*) AS n_seen
+    FROM documents GROUP BY md5(text)""",
         # Winnowing (see q_winnowing_fingerprints): same gram hashes,
         # window-min, rightmost tie, distinct selections.
         "winnowing_fingerprints": """

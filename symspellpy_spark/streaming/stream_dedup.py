@@ -75,6 +75,7 @@ def streaming_simhash_pairs(
     max_bucket_size: int = 512,
     id_col: str = "url",
     text_col: str = "text",
+    sig_fn=None,
 ) -> DataFrame:
     """Custom stateful streaming operator (``applyInPandasWithState``):
     continuous SimHash near-dup pair detection against the stream's own
@@ -91,14 +92,23 @@ def streaming_simhash_pairs(
     streaming analogue of the batch cap). A pair sharing several intact
     blocks is emitted once per such block; dedupe downstream if exact
     multiplicity matters.
+
+    ``sig_fn`` (stream -> (id, simhash) stream, stateless expressions
+    only) overrides the default tokenize+simhash stage — the same plug
+    point as ``run_incremental_lsh``'s ``signatures_fn``, used to pin
+    the exact signature config of a batch run the drained stream must
+    converge to.
     """
     if n_blocks is None:
         n_blocks = max_hamming + 1
     width = 64 // n_blocks
     mask = (1 << width) - 1 if width < 64 else -1
 
-    toks = normalized_tokens(pages_stream, id_col=id_col, text_col=text_col)
-    sig = simhash_signatures(toks).select("id", "simhash")
+    if sig_fn is not None:
+        sig = sig_fn(pages_stream)
+    else:
+        toks = normalized_tokens(pages_stream, id_col=id_col, text_col=text_col)
+        sig = simhash_signatures(toks).select("id", "simhash")
     blocks = [
         F.struct(
             F.lit(i).alias("block_id"),
@@ -119,10 +129,11 @@ def streaming_simhash_pairs(
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    # id type follows the input column (urls are strings, the pipeline's
-    # internal ids are 8-byte longs) — a hardcoded string schema would
-    # break the stateful operator at runtime for long ids
-    id_type = dict(pages_stream.select(F.col(id_col)).dtypes)[id_col]
+    # id type follows the signature relation's id column (urls are
+    # strings, the pipeline's internal ids are 8-byte longs) — a
+    # hardcoded string schema would break the stateful operator at
+    # runtime for long ids
+    id_type = dict(sig.dtypes)["id"]
 
     u64 = (1 << 64) - 1
 
