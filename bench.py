@@ -362,6 +362,26 @@ def main() -> None:
             n_s2 / timings["segmentation_en_d2_batch"], 1
         )
 
+    # --- release the EN-dictionary workloads' memory before the
+    # flagship pipeline: the cached deletes index, the eager
+    # localCheckpoint inputs, the index/words broadcasts, and — the
+    # dominant term — 32 reused python workers each holding a
+    # deserialized EN dictionary + resolution cache. Left in place they
+    # cost the pipeline's Arrow kernels ~10 s (measured: full-bench
+    # signatures 17.6-18.2 s vs 4.6-8.2 s pipeline-only on the same
+    # host; see BASELINE.md round-4). A real deployment runs these
+    # workloads in separate applications — the release makes the
+    # one-process bench measure each section, not their interference.
+    if n_q:
+        from symspellpy_spark.operators.scoped_cache import (
+            release_worker_state,
+        )
+
+        d.unpersist()
+        for df in (queries, cdocs, sdocs, sdocs_d1, sdocs_d2):
+            df.unpersist(False)
+        release_worker_state(spark)
+
     # --- flagship pipeline over a synthesized parquet pages table ---
     pages_path = os.path.join(scratch, f"pages_{n_pages}")
     shutil.rmtree(pages_path, ignore_errors=True)

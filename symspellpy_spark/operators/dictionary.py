@@ -231,6 +231,15 @@ class SparkDictionary:
             self.bigrams.cache()
         return self
 
+    def unpersist(self) -> "SparkDictionary":
+        """Release the cached state tables (non-blocking; safe while
+        referenced — later actions fall back to lineage recomputation)."""
+        self.words.unpersist(False)
+        self.deletes.unpersist(False)
+        if self.bigrams is not None:
+            self.bigrams.unpersist(False)
+        return self
+
     def save(self, path: str) -> None:
         """Checkpoint analogue of save_pickle (pickle_mixin.py:86-113):
         parquet tables + a JSON properties file carrying the config and

@@ -23,7 +23,12 @@ from collections import deque
 
 from pyspark.sql import DataFrame
 
-__all__ = ["persist_scoped", "release_scope", "release_all"]
+__all__ = [
+    "persist_scoped",
+    "release_scope",
+    "release_all",
+    "release_worker_state",
+]
 
 _LIVE: dict[tuple[int, str], deque[DataFrame]] = {}
 
@@ -58,3 +63,70 @@ def release_scope(scope: str) -> None:
 def release_all() -> None:
     for scope in {k[1] for k in list(_LIVE)}:
         release_scope(scope)
+
+
+def _clear_worker_side(_) -> None:
+    """Runs INSIDE a python worker: drop every dictionary-scoped module
+    cache this engine plants in reused workers, then hand freed pages
+    back to the OS (glibc keeps free()d arenas mapped; ``malloc_trim``
+    returns them — without it a worker's RSS stays at its high-water
+    mark even after the caches are gone)."""
+    import gc
+
+    from symspellpy_spark.operators import compound, local_lookup, neighborhood
+
+    local_lookup._STATE.clear()
+    neighborhood._WORKER_RESOLVERS.clear()
+    compound._WORKER_SPLIT_STATE.clear()
+    gc.collect()
+    try:
+        import ctypes
+
+        ctypes.CDLL("libc.so.6").malloc_trim(0)
+    except Exception:
+        pass  # non-glibc platform: freed memory stays pooled
+
+
+def release_worker_state(spark, tasks_per_core: int = 4) -> None:
+    """Release ALL dictionary-scoped memory a lookup/compound/
+    segmentation workload leaves pinned in a long-lived session, so a
+    following memory-hungry stage (e.g. the dedup pipeline's Arrow
+    kernels) doesn't fight it for RAM:
+
+    - driver-cached index/words/bigram broadcasts are destroyed (their
+      executor blocks free immediately; the caches rebuild on next use
+      with a fresh token, so worker state can never go stale);
+    - every scoped persist generation is unpersisted;
+    - a best-effort fan-out job clears the per-python-worker resolver /
+      words-map / split caches across the reused worker pool (each of
+      the pool's workers holds its own deserialized dictionary + up-to-
+      ``_CACHE_CAP`` resolution cache — at 32 workers that is the
+      dominant term) and ``malloc_trim``s the freed arenas back to the
+      OS. ``tasks_per_core`` near-instant tasks per core make it
+      overwhelmingly likely every pooled worker serves at least one.
+
+    Measured effect (bench.py, 60k-doc pipeline after the EN dictionary
+    workloads, 32 cores): the signatures stage returned to its
+    pipeline-only cost (see BASELINE.md round-4 section).
+    """
+    from symspellpy_spark.operators import compound, local_lookup, neighborhood
+
+    for cache in (
+        local_lookup._BC_CACHE,
+        neighborhood._IDX_CACHE,
+        compound._BIGRAM_CACHE,
+    ):
+        for _ref, value, _token in list(cache.values()):
+            items = value if isinstance(value, tuple) else (value,)
+            for item in items:
+                if hasattr(item, "destroy"):
+                    try:
+                        item.destroy()
+                    except Exception:
+                        pass  # already destroyed / session stopped
+        cache.clear()
+
+    release_all()
+
+    n = spark.sparkContext.defaultParallelism * tasks_per_core
+    spark.sparkContext.parallelize(range(n), n).foreach(_clear_worker_side)

@@ -102,3 +102,38 @@ def test_vocab_limit_routes_to_relational(spark):
     assert "Join" in plan  # relational shape
     key = lambda r: (r["query"], r["term"], r["distance"], r["count"])  # noqa: E731
     assert sorted(map(key, fast.collect())) == sorted(map(key, routed.collect()))
+
+
+def test_release_worker_state(spark, small_dict):
+    """release_worker_state drops the driver broadcast caches and the
+    per-worker dictionary state, and the next lookup rebuilds them with
+    identical results (release is a memory event, not a semantic one)."""
+    from symspellpy_spark.operators import compound, local_lookup, neighborhood
+    from symspellpy_spark.operators.scoped_cache import release_worker_state
+
+    qdf = spark.createDataFrame([("steems",), ("sprak",)], "query string")
+    before = _rows(lookup_batch_local(qdf, small_dict, Verbosity.ALL))
+    assert local_lookup._BC_CACHE or neighborhood._IDX_CACHE
+
+    release_worker_state(spark)
+    assert not local_lookup._BC_CACHE
+    assert not neighborhood._IDX_CACHE
+    assert not compound._BIGRAM_CACHE
+    # every reused worker's module caches are gone (probe the pool the
+    # same way the release fanned out; no lookup ran in between, so a
+    # hit on any worker would be leaked state)
+    n = spark.sparkContext.defaultParallelism * 4
+    sizes = (
+        spark.sparkContext.parallelize(range(n), n)
+        .map(
+            lambda _: (
+                len(local_lookup._STATE),
+                len(neighborhood._WORKER_RESOLVERS),
+                len(compound._WORKER_SPLIT_STATE),
+            )
+        )
+        .collect()
+    )
+    assert all(s == (0, 0, 0) for s in sizes), sizes
+
+    assert _rows(lookup_batch_local(qdf, small_dict, Verbosity.ALL)) == before
