@@ -592,11 +592,15 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_gopher_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL Gopher/MassiveText repetition family
     (operators/quality.py:gopher_ngram_stats): top-{2,3,4}-gram and
-    duplicate-{5..10}-gram fractions in long form — one row per
+    duplicate-{5..10}-gram CHARACTER fractions (the published measures,
+    whitespace-free accounting; duplicate coverage is a position union)
+    plus the gram-count diagnostics, in long form — one row per
     (document, n) with exact integer counts and single-division
     fractions, extending the single-n ``gopher_repetition`` pattern to
     the published filter set. Shape: one fan-out explode bounded by
-    |ns| * doc_len, two map-side-combined aggregations, no self-join."""
+    |ns| * doc_len, map-side-combined aggregations, and a
+    doc-id-keyed occurrence join whose skew is bounded by doc length —
+    no self-join."""
     from symspellpy_spark.operators.quality import gopher_ngram_stats
 
     docs = _read(spark, sf_dir, "documents")
@@ -609,7 +613,8 @@ def q_gopher_quality_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gopher repetition-filter verdict
     (operators/quality.py:gopher_quality_filter): keep iff no signal
     exceeds its published MassiveText threshold (top-{2,3,4}-gram
-    fraction, duplicate-{5..10}-gram fraction; strict-greater drop).
+    character fraction, duplicate-{5..10}-gram character fraction;
+    strict-greater drop).
     One rollup over the stats relation; docs too short for any n are
     kept. The oracle regenerates the identical threshold CASE ladder
     from the same GOPHER_THRESHOLDS constant."""
@@ -1061,21 +1066,61 @@ def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _drain_stream(spark: SparkSession, docs: DataFrame, run_fn, n_batches=6):
-    """Drain a docs relation through a file-source stream: write it as
-    ``n_batches`` parquet files, stream them back one file per trigger
-    (availableNow), run the incremental job to completion, and return
-    the (index_path, pairs_path) the job accumulated into."""
+def _stream_source(
+    spark: SparkSession,
+    docs: DataFrame,
+    n_batch_files: int | None = 6,
+    files_per_trigger: int = 1,
+):
+    """The streaming contract entries' shared micro-batching protocol
+    (defined ONCE — the drained-fixpoint oracles depend on it): write
+    the relation as parquet — repartitioned to ``n_batch_files`` on
+    ``doc_id`` when set, so the drain sees a deterministic number of
+    micro-batches — and open it back as a ``maxFilesPerTrigger``-limited
+    file stream. Returns ``(stream, base_dir)``; ``base_dir`` holds
+    ``src`` and is free for the caller's checkpoint/output dirs."""
     import tempfile
 
     base = tempfile.mkdtemp(prefix="sgraft_stream_")
     src = os.path.join(base, "src")
-    docs.repartition(n_batches, "doc_id").write.parquet(src)
+    w = docs if n_batch_files is None else docs.repartition(
+        n_batch_files, "doc_id"
+    )
+    w.write.parquet(src)
     stream = (
         spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", files_per_trigger)
         .parquet(src)
     )
+    return stream, base
+
+
+def _drain_to_memory(
+    spark: SparkSession, df: DataFrame, base: str, output_mode: str
+) -> DataFrame:
+    """Run a streaming relation to completion (availableNow) into a
+    uniquely-named memory sink and return the accumulated table."""
+    import uuid
+
+    name = "drain_" + uuid.uuid4().hex
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _drain_stream(spark: SparkSession, docs: DataFrame, run_fn, n_batches=6):
+    """Drain a docs relation through the shared file-source protocol,
+    one file per trigger, run the incremental foreachBatch job to
+    completion, and return the (index_path, pairs_path) the job
+    accumulated into."""
+    stream, base = _stream_source(spark, docs, n_batch_files=n_batches)
     idx = os.path.join(base, "idx")
     pairs = os.path.join(base, "pairs")
     ckpt = os.path.join(base, "ckpt")
@@ -1184,22 +1229,12 @@ def q_streaming_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     relational majority vote). Signature config pinned to the batch
     entry's via ``sig_fn``; pairs emitted once per shared intact block
     collapse under distinct."""
-    import tempfile
-    import uuid
-
     from symspellpy_spark.streaming.stream_dedup import (
         streaming_simhash_pairs,
     )
 
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
-    base = tempfile.mkdtemp(prefix="sgraft_stream_")
-    src = os.path.join(base, "src")
-    docs.repartition(6, "doc_id").write.parquet(src)
-    stream = (
-        spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
+    stream, base = _stream_source(spark, docs, n_batch_files=6)
 
     def sig_of(df: DataFrame) -> DataFrame:
         toks = df.select(
@@ -1215,18 +1250,8 @@ def q_streaming_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = streaming_simhash_pairs(
         stream, max_hamming=8, max_bucket_size=1 << 30, sig_fn=sig_of
     )
-    name = "simhash_drain_" + uuid.uuid4().hex
-    q = (
-        pairs.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .start()
-    )
-    q.awaitTermination()
     return (
-        spark.table(name)
+        _drain_to_memory(spark, pairs, base, "append")
         .distinct()
         .select(
             F.col("id_a").alias("doc_a"),
@@ -1243,9 +1268,6 @@ def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate count per content hash, drained to its batch fixpoint
     (event times span < the 1h watermark delay, so nothing is late and
     the end-state equals the batch GROUP BY exactly)."""
-    import tempfile
-    import uuid
-
     from symspellpy_spark.streaming.stream_dedup import (
         streaming_exact_dedup,
     )
@@ -1255,26 +1277,13 @@ def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.timestamp_seconds(F.pmod("doc_id", F.lit(3600))).alias("warc_ts"),
     )
-    base = tempfile.mkdtemp(prefix="sgraft_stream_")
-    src = os.path.join(base, "src")
-    docs.write.parquet(src)
-    stream = (
-        spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 4)
-        .parquet(src)
+    stream, base = _stream_source(
+        spark, docs, n_batch_files=None, files_per_trigger=4
     )
     agg = streaming_exact_dedup(stream)
-    name = "exact_drain_" + uuid.uuid4().hex
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .start()
+    return _drain_to_memory(spark, agg, base, "complete").select(
+        "text_md5", "first_url", "n_seen"
     )
-    q.awaitTermination()
-    return spark.table(name).select("text_md5", "first_url", "n_seen")
 
 
 def q_compound_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2222,40 +2231,79 @@ def _corpus_survivors_oracle() -> str:
 
 def _gopher_stats_cte() -> str:
     """Shared CTE for the gopher_ngram_stats / gopher_quality_keep
-    oracles: n fan-out, per-(doc, n, gram) counts, per-(doc, n) rollup —
-    the exact-integer replay of operators/quality.py:gopher_ngram_stats
-    with default ns=(2..10)."""
+    oracles: n fan-out, per-(doc, n, gram) counts, per-(doc, n) rollup,
+    plus the character signals — top gram char mass (most frequent by
+    count, ties by (char len, gram) via struct max, identical to Spark's
+    max(struct)) and duplicate-coverage chars (position-union join back
+    to per-token lengths) — the exact-integer replay of
+    operators/quality.py:gopher_ngram_stats with default ns=(2..10)."""
     return f"""
     WITH tok AS (
-        SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS ts
+        SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS ts,
+               CAST(length(array_to_string(
+                   regexp_extract_all(lower(text), '{TOKEN_RE}'), ''
+               )) AS BIGINT) AS doc_chars
         FROM documents
     ),
     fan AS (
-        SELECT doc_id, ts, unnest([2,3,4,5,6,7,8,9,10]) AS n FROM tok
+        SELECT doc_id, ts, doc_chars, unnest([2,3,4,5,6,7,8,9,10]) AS n
+        FROM tok
     ),
-    gpos AS (
-        SELECT doc_id, n, ts, unnest(range(0, len(ts) - n + 1)) AS i
-        FROM fan WHERE len(ts) >= n
+    occ AS (
+        SELECT doc_id, n, doc_chars, i,
+               array_to_string(ts[i+1 : i+n], ' ') AS g
+        FROM (
+            SELECT doc_id, n, ts, doc_chars,
+                   unnest(range(0, len(ts) - n + 1)) AS i
+            FROM fan WHERE len(ts) >= n
+        )
     ),
     cnt AS (
-        SELECT doc_id, n, array_to_string(ts[i+1 : i+n], ' ') AS g,
-               count(*) AS c
-        FROM gpos GROUP BY doc_id, n, g
+        SELECT doc_id, n, doc_chars, g, count(*) AS c
+        FROM occ GROUP BY doc_id, n, doc_chars, g
     ),
     stats AS (
-        SELECT doc_id, CAST(n AS INTEGER) AS n,
+        SELECT doc_id, CAST(n AS INTEGER) AS n, doc_chars,
                CAST(sum(c) AS BIGINT) AS n_grams,
                CAST(count(*) AS BIGINT) AS n_distinct,
-               CAST(max(c) AS BIGINT) AS top_count
-        FROM cnt GROUP BY doc_id, n
+               CAST(max(c) AS BIGINT) AS top_count,
+               max({{'c': c,
+                     'clen': CAST(length(g) - (n - 1) AS BIGINT),
+                     'g': g}}) AS top
+        FROM cnt GROUP BY doc_id, n, doc_chars
+    ),
+    tokpos AS (
+        SELECT doc_id, j - 1 AS j,
+               CAST(length(ts[j]) AS BIGINT) AS tl
+        FROM tok, unnest(range(1, len(ts) + 1)) AS u(j)
+    ),
+    covpos AS (
+        SELECT DISTINCT doc_id, n, j FROM (
+            SELECT o.doc_id, o.n, unnest(range(o.i, o.i + o.n)) AS j
+            FROM occ o JOIN (
+                SELECT doc_id, n, g FROM cnt WHERE c >= 2
+            ) d USING (doc_id, n, g)
+        )
+    ),
+    cov AS (
+        SELECT cp.doc_id, cp.n, sum(tp.tl) AS dup_chars
+        FROM covpos cp JOIN tokpos tp
+          ON cp.doc_id = tp.doc_id AND cp.j = tp.j
+        GROUP BY cp.doc_id, cp.n
     ),
     frac AS (
-        SELECT doc_id, n, n_grams, n_distinct, top_count,
-               CAST(top_count AS DOUBLE) / CAST(n_grams AS DOUBLE)
+        SELECT s.doc_id, s.n, s.n_grams, s.n_distinct, s.top_count,
+               CAST(s.top_count AS DOUBLE) / CAST(s.n_grams AS DOUBLE)
                    AS top_frac,
-               CAST(n_grams - n_distinct AS DOUBLE)
-                   / CAST(n_grams AS DOUBLE) AS dup_frac
-        FROM stats
+               CAST(s.n_grams - s.n_distinct AS DOUBLE)
+                   / CAST(s.n_grams AS DOUBLE) AS dup_frac,
+               s.doc_chars,
+               CAST((s.top).c * (s.top).clen AS DOUBLE)
+                   / CAST(s.doc_chars AS DOUBLE) AS top_char_frac,
+               CAST(coalesce(c.dup_chars, 0) AS DOUBLE)
+                   / CAST(s.doc_chars AS DOUBLE) AS dup_char_frac
+        FROM stats s LEFT JOIN cov c
+          ON s.doc_id = c.doc_id AND s.n = c.n
     )"""
 
 
@@ -2266,11 +2314,11 @@ def _gopher_keep_oracle() -> str:
     from symspellpy_spark.operators.quality import GOPHER_THRESHOLDS
 
     conds = [
-        f"(n = {n} AND top_frac > {t})"
-        for n, t in sorted(GOPHER_THRESHOLDS["top_frac"].items())
+        f"(n = {n} AND top_char_frac > {t})"
+        for n, t in sorted(GOPHER_THRESHOLDS["top_char_frac"].items())
     ] + [
-        f"(n = {n} AND dup_frac > {t})"
-        for n, t in sorted(GOPHER_THRESHOLDS["dup_frac"].items())
+        f"(n = {n} AND dup_char_frac > {t})"
+        for n, t in sorted(GOPHER_THRESHOLDS["dup_char_frac"].items())
     ]
     ladder = " OR ".join(conds)
     return (
@@ -2765,7 +2813,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _pii_scrub_oracle(),
         "gopher_ngram_stats": _gopher_stats_cte()
         + """
-    SELECT doc_id, n, n_grams, n_distinct, top_count, top_frac, dup_frac
+    SELECT doc_id, n, n_grams, n_distinct, top_count, top_frac, dup_frac,
+           doc_chars, top_char_frac, dup_char_frac
     FROM frac""",
         "gopher_quality_keep": _gopher_keep_oracle(),
         "gopher_repetition": f"""

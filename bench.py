@@ -495,10 +495,13 @@ def main() -> None:
         from symspellpy_spark.plans.pipeline import DedupConfig, DedupPipeline
 
         def _run_winnow_pipeline():
+            # same collect_metrics setting as run_pipeline (default on),
+            # so the 5-source vs 4-source per-doc rates compare
+            # like-for-like (the per-source tally rides the row-count
+            # job — no extra pass either way)
             pipe = DedupPipeline(
                 spark,
                 DedupConfig(use_winnowing=True, winnow_k=16, winnow_window=8),
-                collect_metrics=False,
             )
             return pipe.clusters(win_pages).count()
 

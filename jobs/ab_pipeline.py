@@ -31,6 +31,12 @@ import time
 
 
 def bw_probe(seconds: float = 5.0) -> int:
+    # deliberately a local copy of bench.py's host_bw_probe, NOT an
+    # import: bench.py inserts its own directory at sys.path[0] on
+    # import, which would put /root/repo's engine ahead of the
+    # PYTHONPATH-selected tree and silently break the A/B's core
+    # property (the r2 invocation must run the r2 engine). Keep the
+    # constants in sync with BASELINE.md's probe protocol.
     import numpy as np
 
     a = np.arange(8 * 1024 * 1024, dtype=np.uint64)

@@ -188,19 +188,29 @@ def ivf_fit_centroids(
     The filter is the same pure hash the ordering uses, so the result
     stays a deterministic function of the data; with a small corpus
     (n <= 4*sample) K=1 and the behavior is byte-identical to the
-    unfiltered path.
+    unfiltered path. Duplicate vectors share one hash, so on a
+    duplicate-heavy corpus (few DISTINCT embeddings) the filtered
+    stream can come back short — the 1/K survival estimate assumes
+    distinct hashes. The guard below falls back to the unfiltered
+    deterministic top-k whenever the filter returns fewer than the
+    rows the corpus could supply; the fallback is itself deterministic,
+    so centroids remain a pure function of (data, seed, sample).
     """
     n_corpus = corpus.count()
     k_div = max(1, n_corpus // max(1, sample * 4))
     h = F.xxhash64(F.col(vec_col).cast("string"))
+    sampled = corpus.select(F.col(vec_col), h.alias("_h"))
     rows = (
-        corpus.select(F.col(vec_col), h.alias("_h"))
-        .where(F.pmod(F.col("_h"), F.lit(k_div)) == 0)
+        sampled.where(F.pmod(F.col("_h"), F.lit(k_div)) == 0)
         .orderBy("_h")
         .limit(sample)
         .toPandas()[vec_col]
         .tolist()
     )
+    if k_div > 1 and len(rows) < min(sample, n_corpus):
+        rows = (
+            sampled.orderBy("_h").limit(sample).toPandas()[vec_col].tolist()
+        )
     x = np.asarray(rows, dtype=np.float64)
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)

@@ -174,23 +174,43 @@ class DedupPipeline:
             compression=self.config.checkpoint_codec,
         )
 
-    def _metric_count(self, stage: str, df: DataFrame) -> None:
+    def _metric_count(
+        self, stage: str, df: DataFrame, sources: list[str] | None = None
+    ) -> None:
         """Row-count + per-partition lineage metrics — extra jobs;
         skipped when metrics are off (e.g. throughput benchmarking,
-        where the caller counts anyway)."""
+        where the caller counts anyway).
+
+        ``sources``: names to tally from an array ``sources`` column —
+        folded into the SAME per-partition aggregation (one job, a few
+        extra map-side sums), so per-source recall attribution costs no
+        additional pass over the relation."""
         if not self.collect_metrics:
             return
+        aggs = [F.count(F.lit(1)).alias("_rows")]
+        for s in sources or ():
+            aggs.append(
+                F.sum(F.array_contains("sources", s).cast("long")).alias(
+                    f"_src_{s}"
+                )
+            )
         per_part = (
             df.groupBy(F.spark_partition_id().alias("pid"))
-            .count()
+            .agg(*aggs)
             .collect()
         )
         total = 0
         for r in per_part:
-            self._metric(stage, f"partition_{r['pid']}_rows", r["count"])
-            total += r["count"]
+            self._metric(stage, f"partition_{r['pid']}_rows", r["_rows"])
+            total += r["_rows"]
         self._metric(stage, "rows", total)
         self._metric(stage, "partitions", len(per_part))
+        for s in sources or ():
+            self._metric(
+                stage,
+                f"source_{s}_pairs",
+                sum(r[f"_src_{s}"] or 0 for r in per_part),
+            )
 
     def _metric(self, stage: str, name: str, value) -> None:
         self.metrics.append(
@@ -456,20 +476,14 @@ class DedupPipeline:
             return cached
         sig = self.signatures(pages)
         pairs = self.candidate_pairs(pages).localCheckpoint(eager=False)
-        self._metric_count("candidates", pairs)
-        if self.collect_metrics:
-            # per-source recall contribution (a pair found by two
-            # sources counts toward both): one cheap agg over the
-            # checkpointed narrow pairs relation
-            for r in (
-                pairs.select(F.explode("sources").alias("source"))
-                .groupBy("source")
-                .count()
-                .collect()
-            ):
-                self._metric(
-                    "candidates", f"source_{r['source']}_pairs", r["count"]
-                )
+        # per-source recall attribution (a pair found by two sources
+        # counts toward both) rides the row-count job — no extra pass
+        self._metric_count(
+            "candidates",
+            pairs,
+            sources=["minhash_lsh", "simhash", "substring", "exact"]
+            + (["winnowing"] if self.config.use_winnowing else []),
+        )
         hashes_df = None
         if "shingle_hashes" not in sig.columns:
             # narrow checkpoint: re-derive the shingle sets in one

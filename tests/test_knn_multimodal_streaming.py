@@ -510,3 +510,21 @@ def test_fingerprint_compaction_caps_buckets(spark, tmp_path):
         .count()
     )
     assert over == 0 and idx.count() > 0
+
+
+def test_ivf_fit_centroids_duplicate_heavy_fallback(spark):
+    """The pmod-hash sample prefilter assumes distinct hashes; on a
+    duplicate-heavy corpus (few DISTINCT embeddings) it can starve the
+    sample. The guard must fall back to the unfiltered deterministic
+    top-k and still train, deterministically."""
+    from symspellpy_spark.operators.knn import ivf_fit_centroids
+
+    # 400 rows, only 2 distinct vectors; sample=10 -> k_div=10: the 2
+    # distinct hashes almost surely miss pmod==0, so the filter starves
+    rows = [(i, [1.0, 0.0, 0.0, 0.0] if i % 2 else [0.0, 1.0, 0.0, 0.0])
+            for i in range(400)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    c1 = ivf_fit_centroids(emb, n_centroids=2, sample=10, seed=7)
+    c2 = ivf_fit_centroids(emb, n_centroids=2, sample=10, seed=7)
+    assert c1.shape[0] >= 1 and np.isfinite(c1).all()
+    assert (c1 == c2).all()

@@ -15,12 +15,25 @@ pytestmark = pytest.mark.usefixtures("spark")
 
 
 _DOCS = [
-    # heavy bigram repetition ("very very ... very") -> top_frac(2) high
+    # heavy bigram repetition ("very very ... very") -> top_char_frac(2)
     (1, "this is " + " ".join(["very"] * 12) + " repetitive"),
-    # a looped 6-token passage -> dup_frac(5..6) high
+    # a looped 6-token passage -> dup_char_frac(5..6) high
     (2, " ".join(["a b c d e f"] * 4)),
-    # clean prose: every signal low
-    (3, "the quick brown fox jumps over the lazy dog and runs away"),
+    # clean prose, long enough that no single {2,3,4}-gram's characters
+    # reach the published top-n bars (the filter presumes Gopher's
+    # companion >=50-word minimum-length gate): every signal low
+    (
+        3,
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "careful researchers measure deduplication quality across many "
+        "sampled webpages and record every observation precisely then "
+        "compare results against held out corpora noting subtle shifts "
+        "in lexical diversity syntactic depth topical breadth source "
+        "balance temporal drift annotation cost reviewer agreement and "
+        "final benchmark deltas before publishing a short reproducible "
+        "summary with open data code and careful caveats for future "
+        "teams who may extend this audit to other crawl snapshots",
+    ),
     # too short for any n >= 2
     (4, "one"),
     (5, ""),
@@ -28,18 +41,38 @@ _DOCS = [
 
 
 def _py_stats(text, ns):
+    """Independent brute-force of ALL stats columns, character signals
+    included (top gram by (count, char len, gram); duplicate coverage as
+    a position union over token chars)."""
     ts = re.findall("[a-z0-9]+", text.lower())
+    doc_chars = sum(len(t) for t in ts)
     out = {}
     for n in ns:
         if len(ts) < n:
             continue
-        grams = Counter(
-            " ".join(ts[i : i + n]) for i in range(len(ts) - n + 1)
-        )
+        occs = [" ".join(ts[i : i + n]) for i in range(len(ts) - n + 1)]
+        grams = Counter(occs)
         total = sum(grams.values())
         distinct = len(grams)
         top = max(grams.values())
-        out[n] = (total, distinct, top, top / total, (total - distinct) / total)
+        top_c, top_clen, _ = max(
+            (c, len(g) - (n - 1), g) for g, c in grams.items()
+        )
+        covered = set()
+        for i, g in enumerate(occs):
+            if grams[g] >= 2:
+                covered.update(range(i, i + n))
+        dup_chars = sum(len(ts[j]) for j in covered)
+        out[n] = (
+            total,
+            distinct,
+            top,
+            top / total,
+            (total - distinct) / total,
+            doc_chars,
+            top_c * top_clen / doc_chars,
+            dup_chars / doc_chars,
+        )
     return out
 
 
@@ -53,6 +86,9 @@ def test_stats_match_bruteforce(spark):
             r["top_count"],
             r["top_frac"],
             r["dup_frac"],
+            r["doc_chars"],
+            r["top_char_frac"],
+            r["dup_char_frac"],
         )
         for r in gopher_ngram_stats(df, ns=ns).collect()
     }
@@ -60,6 +96,18 @@ def test_stats_match_bruteforce(spark):
         (i, n): v for i, t in _DOCS for n, v in _py_stats(t, ns).items()
     }
     assert got == want
+
+
+def test_dup_char_frac_bounded(spark):
+    """Overlap-heavy degenerate text: position-union coverage keeps the
+    duplicate fraction in [0, 1] (occurrence-weighted char mass would
+    exceed 1 here)."""
+    df = spark.createDataFrame(
+        [(1, " ".join(["spam"] * 30))], "doc_id long, text string"
+    )
+    rows = gopher_ngram_stats(df, ns=(5,)).collect()
+    assert len(rows) == 1
+    assert rows[0]["dup_char_frac"] == 1.0
 
 
 def test_filter_verdicts(spark):
@@ -74,9 +122,15 @@ def test_filter_verdicts(spark):
     assert keep[5] is True
     # sanity: the violating signals really exceed the published bars
     s1 = _py_stats(_DOCS[0][1], (2,))[2]
-    assert s1[3] > GOPHER_THRESHOLDS["top_frac"][2]
+    assert s1[6] > GOPHER_THRESHOLDS["top_char_frac"][2]
     s2 = _py_stats(_DOCS[1][1], (5,))[5]
-    assert s2[4] > GOPHER_THRESHOLDS["dup_frac"][5]
+    assert s2[7] > GOPHER_THRESHOLDS["dup_char_frac"][5]
+    # ... and the clean doc clears every bar
+    s3 = _py_stats(_DOCS[2][1], tuple(range(2, 11)))
+    for n, t in GOPHER_THRESHOLDS["top_char_frac"].items():
+        assert s3[n][6] <= t
+    for n, t in GOPHER_THRESHOLDS["dup_char_frac"].items():
+        assert s3[n][7] <= t
 
 
 def test_stats_validation():
@@ -86,10 +140,13 @@ def test_stats_validation():
         gopher_ngram_stats(None, ns=(0, 2))
 
 
-def test_stats_plan_has_no_join(spark):
-    """Repetition is per-document: the plan must contain no join at all."""
+def test_stats_plan_shape(spark):
+    """Repetition is per-document: every join in the plan is keyed by
+    the doc id (occurrence-to-hot and coverage joins), so nothing can
+    pair rows across documents — no cartesian/nested-loop anywhere."""
     df = spark.createDataFrame(_DOCS, "doc_id long, text string")
     plan = (
         gopher_ngram_stats(df)._jdf.queryExecution().executedPlan().toString()
     )
-    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
