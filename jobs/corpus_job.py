@@ -76,6 +76,171 @@ def parse_mix(spec: str) -> dict:
     return out
 
 
+def run_corpus_stages(
+    spark,
+    pages,
+    bench,
+    *,
+    checkpoint: str | None = None,
+    mix: dict | None = None,
+    max_boiler: float = 0.5,
+    contam_grams: int = 8,
+    seg_len: int = 8,
+    min_docs: int = 2,
+    gopher: bool = False,
+    dedup_spans: int = 0,
+    scrub_pii: bool = False,
+):
+    """Run the full corpus-assembly stage chain, returning
+    ``(corpus_df, metrics)``. ``corpus_df`` is eagerly checkpointed (the
+    caller only writes/aggregates it); ``metrics`` carries the survivor
+    count after every stage plus ``stage_sec`` — per-stage wall seconds
+    measured at each stage's count() boundary, so the composed job's
+    cost is a tracked, per-stage number (bench.py's ``corpus_job_full``
+    entry reports it; VERDICT_r04 Next #3).
+
+    This is the library surface of the spark-submit job below: main()
+    only parses the CLI, synthesizes/reads the inputs, calls this, and
+    writes the output.
+    """
+    metrics: dict = {"docs": pages.count()}
+    stage_sec: dict = {}
+    # every stage's survivor relation is MATERIALIZED (eager
+    # localCheckpoint) before the next stage reads it: each stage both
+    # consumes the previous relation and semi-joins back against it, so
+    # without a checkpoint boundary the lazy lineage re-executes every
+    # upstream stage once per downstream consumer (measured: the gopher
+    # gram fan-out ran ~3x inside the unmaterialized chain). A rolling
+    # unpersist keeps at most one prior stage's blocks alive, so memory
+    # stays O(corpus), not O(stages * corpus). On a cluster the same
+    # boundary is a disk/Iceberg checkpoint (what `checkpoint` already
+    # does for the dedup stage's signature/edge tables).
+    _prev: list = [None]
+
+    def _staged(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn().localCheckpoint(eager=True)
+        metrics[f"after_{name}"] = out.count()
+        stage_sec[name] = round(time.perf_counter() - t0, 3)
+        if _prev[0] is not None:
+            _prev[0].unpersist(False)
+        _prev[0] = out
+        return out
+
+    # 0. canonical-URL dedup — the cheapest pass runs first (one hash
+    # aggregation; removes re-fetch/tracking variants before any
+    # content hashing); survivor = min url per canonical URL
+    def _url():
+        url_surv = url_dedup(pages, url_col="url", id_col="url").select(
+            F.col("survivor_id").alias("url")
+        )
+        return pages.join(url_surv, "url", "left_semi")
+
+    surv = _staged("url_dedup", _url)
+
+    # 1. near-duplicate removal (one survivor per dup cluster)
+    def _dedup():
+        pipe = DedupPipeline(spark, DedupConfig(), checkpoint_dir=checkpoint)
+        surv_urls = pipe.survivors(surv)
+        return surv.join(surv_urls, "url", "left_semi")
+
+    surv = _staged("dedup", _dedup)
+
+    # 2. boilerplate filter (CCNet-style repeated segments)
+    def _boiler():
+        bp = boilerplate_segments(
+            surv, seg_len=seg_len, min_docs=min_docs, id_col="url"
+        )
+        keep_bp = bp.where(F.col("boiler_ratio") <= max_boiler).select("url")
+        return surv.join(keep_bp, "url", "left_semi")
+
+    surv = _staged("boilerplate", _boiler)
+
+    # 2b. Gopher repetition filter (opt-in): degenerate/templated text
+    # is dropped on the published per-n thresholds — like boilerplate,
+    # a quality gate that runs before decontamination so the benchmark
+    # gram set only probes docs that can survive
+    if gopher:
+        from symspellpy_spark.operators.quality import gopher_quality_filter
+
+        def _gopher():
+            keep_g = (
+                gopher_quality_filter(surv, id_col="url")
+                .where(F.col("keep"))
+                .select(F.col("id").alias("url"))
+            )
+            return surv.join(keep_g, "url", "left_semi")
+
+        surv = _staged("gopher", _gopher)
+
+    # 3. benchmark decontamination (drop any doc sharing an n-gram)
+    def _decontam():
+        contam = ngram_contamination(
+            surv, bench, n=contam_grams, id_col="url"
+        )
+        clean = contam.where(F.col("n_contaminated") == 0).select("url")
+        return surv.join(clean, "url", "left_semi")
+
+    surv = _staged("decontamination", _decontam)
+
+    # 4. language mixture (pure filter, fused into the next stage's scan)
+    if mix:
+        surv = hash_stratified_sample(
+            surv, mix, key_col="url", strata_col="lang", default_rate=100
+        )
+    # 5. duplicated-span excision (opt-in byte-changing stage: doc-level
+    # dedup keeps partial-overlap documents whole; this cuts the shared
+    # passages out of them, keep-first occurrence surviving)
+    if dedup_spans:
+
+        def _spans():
+            # surv is a stage checkpoint plus (at most) the mix filter,
+            # so the two consumers below — span detection and the
+            # join-back — recompute only that narrow filter over cached
+            # blocks, never the upstream stage chain.
+            # n_tokens_removed rides along to the _staged checkpoint so
+            # the metric below aggregates the CHECKPOINTED relation
+            cl = remove_duplicate_spans(
+                surv, k=dedup_spans, id_col="url"
+            ).select(
+                F.col("id").alias("url"),
+                "clean_text",
+                "n_tokens_removed",
+            )
+            return (
+                surv.join(cl, "url", "left")
+                .withColumn("text", F.coalesce("clean_text", "text"))
+                .drop("clean_text")
+            )
+
+        surv = _staged("dedup_spans", _spans)
+
+    # 6. PII redaction (opt-in: the other stage that changes text bytes)
+    if scrub_pii:
+        surv = pii_scrub(surv, id_col="url", keep_all=True)
+
+    # the final checkpoint executes whatever tail stages stayed lazy
+    # (mix when spans are off, pii), so "finalize" prices them together
+    # with the output-side materialization
+    corpus = _staged("finalize", lambda: surv)
+    metrics["corpus"] = metrics.pop("after_finalize")
+    if dedup_spans:
+        metrics["span_tokens_removed"] = int(
+            corpus.agg(F.sum("n_tokens_removed")).first()[0] or 0
+        )
+        corpus = corpus.drop("n_tokens_removed")
+    if scrub_pii:
+        red = corpus.agg(
+            *[F.sum(c).alias(c) for c in ("n_email", "n_ipv4", "n_phone")]
+        ).first()
+        metrics["pii_redactions"] = {
+            c: int(red[c] or 0) for c in ("n_email", "n_ipv4", "n_phone")
+        }
+        corpus = corpus.drop("n_email", "n_ipv4", "n_phone")
+    metrics["stage_sec"] = stage_sec
+    return corpus, metrics
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="pages parquet path")
@@ -137,110 +302,20 @@ def main(argv=None) -> None:
         bench = pages.where(F.pmod(F.xxhash64("url"), F.lit(50)) == 0)
 
     t0 = time.perf_counter()
-    metrics: dict = {"docs": pages.count()}
-
-    # 0. canonical-URL dedup — the cheapest pass runs first (one hash
-    # aggregation; removes re-fetch/tracking variants before any
-    # content hashing); survivor = min url per canonical URL
-    url_surv = url_dedup(pages, url_col="url", id_col="url").select(
-        F.col("survivor_id").alias("url")
+    corpus, metrics = run_corpus_stages(
+        spark,
+        pages,
+        bench,
+        checkpoint=args.checkpoint,
+        mix=parse_mix(args.mix),
+        max_boiler=args.max_boiler,
+        contam_grams=args.contam_grams,
+        seg_len=args.seg_len,
+        min_docs=args.min_docs,
+        gopher=args.gopher,
+        dedup_spans=args.dedup_spans,
+        scrub_pii=args.scrub_pii,
     )
-    pages = pages.join(url_surv, "url", "left_semi")
-    metrics["after_url_dedup"] = pages.count()
-
-    # 1. near-duplicate removal (one survivor per dup cluster)
-    pipe = DedupPipeline(spark, DedupConfig(), checkpoint_dir=args.checkpoint)
-    surv_urls = pipe.survivors(pages)
-    surv = pages.join(surv_urls, "url", "left_semi").localCheckpoint(
-        eager=True
-    )
-    metrics["after_dedup"] = surv.count()
-
-    # 2. boilerplate filter (CCNet-style repeated segments)
-    bp = boilerplate_segments(
-        surv, seg_len=args.seg_len, min_docs=args.min_docs, id_col="url"
-    )
-    keep_bp = bp.where(F.col("boiler_ratio") <= args.max_boiler).select("url")
-    surv = surv.join(keep_bp, "url", "left_semi")
-    metrics["after_boilerplate"] = surv.count()
-
-    # 2b. Gopher repetition filter (opt-in): degenerate/templated text
-    # is dropped on the published per-n thresholds — like boilerplate,
-    # a quality gate that runs before decontamination so the benchmark
-    # gram set only probes docs that can survive
-    if args.gopher:
-        from symspellpy_spark.operators.quality import gopher_quality_filter
-
-        keep_g = (
-            gopher_quality_filter(surv, id_col="url")
-            .where(F.col("keep"))
-            .select(F.col("id").alias("url"))
-        )
-        surv = surv.join(keep_g, "url", "left_semi")
-        metrics["after_gopher"] = surv.count()
-
-    # 3. benchmark decontamination (drop any doc sharing an n-gram)
-    contam = ngram_contamination(
-        surv, bench, n=args.contam_grams, id_col="url"
-    )
-    clean = contam.where(F.col("n_contaminated") == 0).select("url")
-    surv = surv.join(clean, "url", "left_semi")
-    metrics["after_decontamination"] = surv.count()
-
-    # 4. language mixture
-    mix = parse_mix(args.mix)
-    if mix:
-        surv = hash_stratified_sample(
-            surv, mix, key_col="url", strata_col="lang", default_rate=100
-        )
-    # 5. duplicated-span excision (opt-in byte-changing stage: doc-level
-    # dedup keeps partial-overlap documents whole; this cuts the shared
-    # passages out of them, keep-first occurrence surviving)
-    if args.dedup_spans:
-        # materialize before branching: the span stage both consumes surv
-        # and joins back against it — without a checkpoint the whole
-        # upstream lineage (boilerplate/decontamination/mix on top of the
-        # stage-1 checkpoint) would execute once per branch unless
-        # Catalyst exchange reuse happened to fire
-        surv = surv.localCheckpoint(eager=True)
-        cl = remove_duplicate_spans(
-            surv, k=args.dedup_spans, id_col="url"
-        ).select(
-            F.col("id").alias("url"),
-            "clean_text",
-            "n_tokens_removed",
-        )
-        surv = (
-            surv.join(cl, "url", "left")
-            .withColumn("text", F.coalesce("clean_text", "text"))
-            .drop("clean_text")
-        )
-        # n_tokens_removed rides along to the eager checkpoint below so
-        # the metric aggregates the CHECKPOINTED relation — an action
-        # here would execute the whole span-detection subplan twice
-
-    # 6. PII redaction (opt-in: the other stage that changes text bytes)
-    if args.scrub_pii:
-        surv = pii_scrub(surv, id_col="url", keep_all=True)
-
-    corpus = surv.localCheckpoint(eager=True)
-    metrics["corpus"] = corpus.count()
-    if args.dedup_spans:
-        metrics["span_tokens_removed"] = int(
-            corpus.agg(F.sum("n_tokens_removed")).first()[0] or 0
-        )
-        corpus = corpus.drop("n_tokens_removed")
-    if args.scrub_pii:
-        red = corpus.agg(
-            *[
-                F.sum(c).alias(c)
-                for c in ("n_email", "n_ipv4", "n_phone")
-            ]
-        ).first()
-        metrics["pii_redactions"] = {
-            c: int(red[c] or 0) for c in ("n_email", "n_ipv4", "n_phone")
-        }
-        corpus = corpus.drop("n_email", "n_ipv4", "n_phone")
 
     corpus.write.mode("overwrite").parquet(os.path.join(args.output, "corpus"))
     metrics["wall_sec"] = round(time.perf_counter() - t0, 3)

@@ -318,6 +318,7 @@ def remove_duplicate_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_grams: bool = True,
+    join_salt: int = 1,
 ) -> DataFrame:
     """-> (id, clean_text, n_tokens, n_tokens_removed): documents with
     their :func:`duplicate_spans` excised (keep-first semantics: the
@@ -334,10 +335,19 @@ def remove_duplicate_spans(
     contain no span — pass through with ``clean_text = text`` and
     ``n_tokens = n_tokens_removed = 0``, preserving the pipeline's
     byte-identical-text invariant for survivors.
+
+    ``join_salt`` passes through to :func:`duplicate_spans`' hot-gram
+    join-back (identical output for any value; see that docstring and
+    ``BENCH_SPAN_SALT.json`` for when it pays).
     """
     if spans is None:
         spans = duplicate_spans(
-            docs, k=k, id_col=id_col, text_col=text_col, hash_grams=hash_grams
+            docs,
+            k=k,
+            id_col=id_col,
+            text_col=text_col,
+            hash_grams=hash_grams,
+            join_salt=join_salt,
         )
     sp = spans.groupBy("id").agg(
         F.sort_array(F.collect_list(F.struct("span_start", "span_end"))).alias("sps")

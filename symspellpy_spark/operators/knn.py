@@ -191,26 +191,30 @@ def ivf_fit_centroids(
     unfiltered path. Duplicate vectors share one hash, so on a
     duplicate-heavy corpus (few DISTINCT embeddings) the filtered
     stream can come back short — the 1/K survival estimate assumes
-    distinct hashes. The guard below falls back to the unfiltered
-    deterministic top-k whenever the filter returns fewer than the
-    rows the corpus could supply; the fallback is itself deterministic,
-    so centroids remain a pure function of (data, seed, sample).
+    distinct hashes. The guard below widens the filter PROGRESSIVELY
+    (``pmod < m`` with m doubling) whenever it returns fewer than the
+    rows the corpus could supply, so slight duplication costs one or
+    two retries over a still-1/K-ish slice instead of silently
+    degrading to a full-corpus sort; the unfiltered top-k remains only
+    the m >= K last resort. Each widening is a pure function of the
+    data, so centroids stay deterministic in (data, seed, sample).
     """
     n_corpus = corpus.count()
+    need = min(sample, n_corpus)
     k_div = max(1, n_corpus // max(1, sample * 4))
     h = F.xxhash64(F.col(vec_col).cast("string"))
     sampled = corpus.select(F.col(vec_col), h.alias("_h"))
-    rows = (
-        sampled.where(F.pmod(F.col("_h"), F.lit(k_div)) == 0)
-        .orderBy("_h")
-        .limit(sample)
-        .toPandas()[vec_col]
-        .tolist()
-    )
-    if k_div > 1 and len(rows) < min(sample, n_corpus):
-        rows = (
-            sampled.orderBy("_h").limit(sample).toPandas()[vec_col].tolist()
+    m = 1
+    while True:
+        src = (
+            sampled.where(F.pmod(F.col("_h"), F.lit(k_div)) < m)
+            if m < k_div
+            else sampled
         )
+        rows = src.orderBy("_h").limit(sample).toPandas()[vec_col].tolist()
+        if len(rows) >= need or m >= k_div:
+            break
+        m *= 2
     x = np.asarray(rows, dtype=np.float64)
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)

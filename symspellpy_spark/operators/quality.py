@@ -10,9 +10,13 @@ RefinedWeb reimplementations):
   {2,3,4}-gram (templated/boilerplate text repeats one phrase over and
   over): ``count(top gram) * chars(top gram) / doc chars``;
 - the fraction of characters contained within duplicate {5..10}-grams
-  (degenerate text loops long passages): characters COVERED by at least
-  one occurrence of a gram that occurs more than once, position-union
-  (overlaps counted once), over doc chars.
+  (degenerate text loops long passages): characters covered by REPEAT
+  occurrences of a within-doc-duplicated gram — every occurrence after
+  the first, position-union (overlaps counted once) — over doc chars.
+  Excluding the first occurrence matches the published calibration
+  (DataTrove's greedy ``find_all_duplicate`` counts only repeats; in
+  the non-overlapping case the two measures coincide), while the union
+  keeps the measure order-free and exactly replayable in SQL.
 
 Character accounting here is whitespace-free on both sides of every
 division (token characters only; separators contribute to neither
@@ -75,9 +79,11 @@ def gopher_ngram_stats(
       identically in the SQL oracle);
     - ``dup_char_frac = covered_chars / doc_chars`` where
       ``covered_chars`` sums the characters of token positions covered
-      by >= 1 occurrence of any within-doc-duplicated gram (position
-      union — overlapping repeats never double-count, so the fraction
-      is always in [0, 1]).
+      by a REPEAT occurrence (any occurrence after the first, by start
+      position) of a within-doc-duplicated gram, as a position union —
+      overlapping repeats never double-count, so the fraction is always
+      in [0, 1], and the first occurrence contributes nothing, matching
+      the published implementations' repeat-only accounting.
 
     Gram-count diagnostics (retained): ``top_frac = top_count /
     n_grams``; ``dup_frac = (n_grams - n_distinct) / n_grams``.
@@ -120,7 +126,8 @@ def gopher_ngram_stats(
         ).alias("i", "g"),
     )
     cnt = occ.groupBy("id", "n", "doc_chars", "g").agg(
-        F.count(F.lit(1)).alias("c")
+        F.count(F.lit(1)).alias("c"),
+        F.min("i").alias("first_i"),
     )
     # chars of the gram's tokens = length(g) minus its n-1 separators
     clen = (F.length("g") - (F.col("n") - F.lit(1))).cast("long")
@@ -134,12 +141,17 @@ def gopher_ngram_stats(
             )
         ).alias("top"),
     )
-    # duplicate-coverage: positions covered by occurrences of duplicated
-    # grams, as a position union; the join key includes the doc id, so
-    # skew is bounded by doc length
-    dup_occ = occ.join(
-        cnt.where(F.col("c") >= 2).select("id", "n", "g"), ["id", "n", "g"]
-    ).select("id", "n", "i")
+    # duplicate-coverage: positions covered by REPEAT occurrences of
+    # duplicated grams (first occurrence excluded), as a position union;
+    # the join key includes the doc id, so skew is bounded by doc length
+    dup_occ = (
+        occ.join(
+            cnt.where(F.col("c") >= 2).select("id", "n", "g", "first_i"),
+            ["id", "n", "g"],
+        )
+        .where(F.col("i") != F.col("first_i"))
+        .select("id", "n", "i")
+    )
     tokpos = toks.select(
         "id", F.posexplode("ts").alias("j", "t")
     ).select("id", "j", F.length("t").cast("long").alias("tl"))

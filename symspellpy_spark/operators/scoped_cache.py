@@ -93,9 +93,13 @@ def release_worker_state(spark, tasks_per_core: int = 4) -> None:
     following memory-hungry stage (e.g. the dedup pipeline's Arrow
     kernels) doesn't fight it for RAM:
 
-    - driver-cached index/words/bigram broadcasts are destroyed (their
-      executor blocks free immediately; the caches rebuild on next use
-      with a fresh token, so worker state can never go stale);
+    - driver-cached index/words/bigram broadcasts are UNPERSISTED (not
+      destroyed): executor blocks free immediately, but a DataFrame
+      plan built BEFORE the release that still closes over one of these
+      broadcasts stays executable — Spark lazily re-ships an
+      unpersisted broadcast from the driver on next use, whereas a
+      destroyed one would fail the plan. The driver-side caches are
+      cleared, so NEW plans rebuild fresh broadcasts with fresh tokens;
     - every scoped persist generation is unpersisted;
     - a best-effort fan-out job clears the per-python-worker resolver /
       words-map / split caches across the reused worker pool (each of
@@ -119,11 +123,11 @@ def release_worker_state(spark, tasks_per_core: int = 4) -> None:
         for _ref, value, _token in list(cache.values()):
             items = value if isinstance(value, tuple) else (value,)
             for item in items:
-                if hasattr(item, "destroy"):
+                if hasattr(item, "unpersist"):
                     try:
-                        item.destroy()
+                        item.unpersist(False)
                     except Exception:
-                        pass  # already destroyed / session stopped
+                        pass  # already released / session stopped
         cache.clear()
 
     release_all()

@@ -54,6 +54,17 @@ __all__ = ["DedupConfig", "DedupPipeline"]
 # config+version, which would otherwise accept them).
 PIPELINE_VERSION = 2
 
+# Candidate-source tags, defined ONCE: candidate_pairs() stamps each
+# union branch with these literals, and the per-source metrics tally in
+# edges() iterates the same constants — so adding or renaming a source
+# cannot silently drop it from metrics (round-4 advice).
+SRC_LSH = "minhash_lsh"
+SRC_SIMHASH = "simhash"
+SRC_SUBSTRING = "substring"
+SRC_EXACT = "exact"
+SRC_WINNOW = "winnowing"
+CANDIDATE_SOURCES = (SRC_LSH, SRC_SIMHASH, SRC_SUBSTRING, SRC_EXACT)
+
 
 @dataclass
 class DedupConfig:
@@ -398,14 +409,14 @@ class DedupPipeline:
             bands_col="bands",
             salted_bucket_cap=c.salted_bucket_cap,
             n_salt=c.n_salt,
-        ).select("id_a", "id_b", F.lit("minhash_lsh").alias("source"))
+        ).select("id_a", "id_b", F.lit(SRC_LSH).alias("source"))
         sim = simhash_candidate_pairs(
             narrow,
             max_hamming=c.simhash_max_hamming,
             max_bucket_size=c.max_bucket_size,
             salted_bucket_cap=c.salted_bucket_cap,
             n_salt=c.n_salt,
-        ).select("id_a", "id_b", F.lit("simhash").alias("source"))
+        ).select("id_a", "id_b", F.lit(SRC_SIMHASH).alias("source"))
         if "sub_grams" in sig.columns:
             # fused sources: substring grams + text hash were computed
             # inside the signature pass — no second text scan, no
@@ -416,14 +427,14 @@ class DedupPipeline:
                 max_bucket_size=c.max_bucket_size,
                 salted_bucket_cap=c.salted_bucket_cap,
                 n_salt=c.n_salt,
-            ).select("id_a", "id_b", F.lit("substring").alias("source"))
+            ).select("id_a", "id_b", F.lit(SRC_SUBSTRING).alias("source"))
             exact = (
                 exact_duplicates_from_hash(sig)
                 .where(F.col("id") != F.col("group_id"))
                 .select(
                     F.col("group_id").alias("id_a"),
                     F.col("id").alias("id_b"),
-                    F.lit("exact").alias("source"),
+                    F.lit(SRC_EXACT).alias("source"),
                 )
             )
         else:
@@ -435,14 +446,14 @@ class DedupPipeline:
                 max_bucket_size=c.max_bucket_size,
                 salted_bucket_cap=c.salted_bucket_cap,
                 n_salt=c.n_salt,
-            ).select("id_a", "id_b", F.lit("substring").alias("source"))
+            ).select("id_a", "id_b", F.lit(SRC_SUBSTRING).alias("source"))
             exact = (
                 exact_duplicates(pages64, id_col="id")
                 .where(F.col("id") != F.col("group_id"))
                 .select(
                     F.col("group_id").alias("id_a"),
                     F.col("id").alias("id_b"),
-                    F.lit("exact").alias("source"),
+                    F.lit(SRC_EXACT).alias("source"),
                 )
             )
         pairs = lsh.unionByName(sim).unionByName(sub).unionByName(exact)
@@ -455,7 +466,7 @@ class DedupPipeline:
                 max_bucket_size=c.max_bucket_size,
                 salted_bucket_cap=c.salted_bucket_cap,
                 n_salt=c.n_salt,
-            ).select("id_a", "id_b", F.lit("winnowing").alias("source"))
+            ).select("id_a", "id_b", F.lit(SRC_WINNOW).alias("source"))
             pairs = pairs.unionByName(win)
         # candidate rows are narrow; AQE would coalesce this exchange to
         # ~1 partition and serialize the dedup — pin a row-balanced
@@ -481,8 +492,8 @@ class DedupPipeline:
         self._metric_count(
             "candidates",
             pairs,
-            sources=["minhash_lsh", "simhash", "substring", "exact"]
-            + (["winnowing"] if self.config.use_winnowing else []),
+            sources=list(CANDIDATE_SOURCES)
+            + ([SRC_WINNOW] if self.config.use_winnowing else []),
         )
         hashes_df = None
         if "shingle_hashes" not in sig.columns:
@@ -504,7 +515,7 @@ class DedupPipeline:
         # exact-substring / exact-hash pairs are kept even below the
         # Jaccard threshold: containment, not symmetric similarity
         containment = pairs.where(
-            F.arrays_overlap(F.col("sources"), F.array(F.lit("substring"), F.lit("exact")))
+            F.arrays_overlap(F.col("sources"), F.array(F.lit(SRC_SUBSTRING), F.lit(SRC_EXACT)))
         ).join(verified.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti").select(
             "id_a", "id_b", F.lit(None).cast("double").alias("jaccard"), "sources"
         )

@@ -137,3 +137,19 @@ def test_release_worker_state(spark, small_dict):
     assert all(s == (0, 0, 0) for s in sizes), sizes
 
     assert _rows(lookup_batch_local(qdf, small_dict, Verbosity.ALL)) == before
+
+
+def test_release_keeps_outstanding_plans_executable(spark, small_dict):
+    """A DataFrame plan built BEFORE release_worker_state still executes
+    AFTER it (round-4 advice): release unpersists — never destroys —
+    the cached broadcasts, so a stale plan lazily re-ships them instead
+    of failing with a destroyed-broadcast error."""
+    from symspellpy_spark.operators.scoped_cache import release_worker_state
+
+    qdf = spark.createDataFrame([("steems",), ("sprak",)], "query string")
+    plan_before = lookup_batch_local(qdf, small_dict, Verbosity.ALL)
+    expect = _rows(plan_before)  # also warms the caches
+
+    stale = lookup_batch_local(qdf, small_dict, Verbosity.ALL)
+    release_worker_state(spark)
+    assert _rows(stale) == expect

@@ -43,7 +43,9 @@ _DOCS = [
 def _py_stats(text, ns):
     """Independent brute-force of ALL stats columns, character signals
     included (top gram by (count, char len, gram); duplicate coverage as
-    a position union over token chars)."""
+    a position union over token chars of REPEAT occurrences only — the
+    first occurrence of each duplicated gram contributes nothing,
+    matching the published repeat-only calibration)."""
     ts = re.findall("[a-z0-9]+", text.lower())
     doc_chars = sum(len(t) for t in ts)
     out = {}
@@ -58,9 +60,12 @@ def _py_stats(text, ns):
         top_c, top_clen, _ = max(
             (c, len(g) - (n - 1), g) for g, c in grams.items()
         )
+        first = {}
+        for i, g in enumerate(occs):
+            first.setdefault(g, i)
         covered = set()
         for i, g in enumerate(occs):
-            if grams[g] >= 2:
+            if grams[g] >= 2 and i != first[g]:
                 covered.update(range(i, i + n))
         dup_chars = sum(len(ts[j]) for j in covered)
         out[n] = (
@@ -101,13 +106,15 @@ def test_stats_match_bruteforce(spark):
 def test_dup_char_frac_bounded(spark):
     """Overlap-heavy degenerate text: position-union coverage keeps the
     duplicate fraction in [0, 1] (occurrence-weighted char mass would
-    exceed 1 here)."""
+    exceed 1 here), and the excluded first occurrence shows up as the
+    29/30 numerator — 30 identical tokens, the only uncovered position
+    being the first token of the first 5-gram occurrence."""
     df = spark.createDataFrame(
         [(1, " ".join(["spam"] * 30))], "doc_id long, text string"
     )
     rows = gopher_ngram_stats(df, ns=(5,)).collect()
     assert len(rows) == 1
-    assert rows[0]["dup_char_frac"] == 1.0
+    assert rows[0]["dup_char_frac"] == 29 / 30
 
 
 def test_filter_verdicts(spark):
@@ -131,6 +138,63 @@ def test_filter_verdicts(spark):
         assert s3[n][6] <= t
     for n, t in GOPHER_THRESHOLDS["dup_char_frac"].items():
         assert s3[n][7] <= t
+
+
+def _py_keep(text) -> bool:
+    """Full brute-force replica of gopher_quality_filter's verdict: keep
+    iff no published signal strictly exceeds its threshold."""
+    for n, t in GOPHER_THRESHOLDS["top_char_frac"].items():
+        s = _py_stats(text, (n,))
+        if n in s and s[n][6] > t:
+            return False
+    for n, t in GOPHER_THRESHOLDS["dup_char_frac"].items():
+        s = _py_stats(text, (n,))
+        if n in s and s[n][7] > t:
+            return False
+    return True
+
+
+def test_planted_corpus_recall(spark):
+    """End-to-end keep/drop on a planted corpus (VERDICT_r04 Next #4,
+    mirror of the pipeline recall suite's style): 30 clean prose docs +
+    5 templated + 5 looped. The published thresholds must drop EXACTLY
+    the planted set — nothing else — and every verdict must agree with
+    the independent brute-force Python scorer."""
+    vocab = [
+        f"{w}{i}"
+        for i, w in enumerate(
+            ("lexic structur veloc apertur symmetr quantiz harmon spectr "
+             "gradien topolog manifol crystal entrop lattice circuit "
+             "polymer neutrin catalys enzyme isotop vector tensor matrix "
+             "kernel photon plasma osmosis synaps cortex neuron axiom "
+             "theorem corolla lemmat integer rationa composi sequenc "
+             "derivat integra").split()
+        )
+    ]
+    docs = []
+    # 30 clean docs: 55 tokens each, all DISTINCT within a doc (stride
+    # slicing over the vocab with a varying offset), so no gram repeats
+    for d in range(30):
+        toks = [vocab[(d * 7 + j * (d % 5 + 1)) % len(vocab)] + str(j)
+                for j in range(55)]
+        docs.append((d, " ".join(toks)))
+    # 5 templated docs: one short phrase repeated -> top_char_frac(2..4)
+    for d in range(30, 35):
+        docs.append((d, " ".join([f"buy cheap pills now"] * (10 + d))))
+    # 5 looped docs: a 12-token passage repeated -> dup_char_frac(5..10)
+    for d in range(35, 40):
+        passage = " ".join(vocab[d % 20 : d % 20 + 12])
+        docs.append((d, " ".join([passage] * 6)))
+    planted = set(range(30, 40))
+
+    expect = {i: _py_keep(t) for i, t in docs}
+    # the scorer itself must drop exactly the planted set (otherwise
+    # the corpus doesn't exercise the thresholds it claims to)
+    assert {i for i, k in expect.items() if not k} == planted
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["id"]: r["keep"] for r in gopher_quality_filter(df).collect()}
+    assert got == expect
 
 
 def test_stats_validation():
