@@ -235,8 +235,19 @@ def duplicate_spans(
       replicated S ways and each occurrence row picks a salt from
       ``xxhash64(id, pos)``, spreading any single gram's occurrences
       across S partitions for S x the (small) aggregate side. Results
-      are identical for any S; AQE's skew-join split is the runtime
-      complement for moderate skew.
+      are identical for any S (tested); AQE's skew-join split is the
+      runtime complement for moderate skew. Default is OFF, measured
+      (``BENCH_SPAN_SALT.json``, 60k docs with one gram planted in 30%
+      of them, interleaved A/B): the join-back is LINEAR per occurrence
+      row — each occurrence matches exactly one aggregate row — so the
+      hot gram costs one task only its own occurrence count, and salt=8
+      added 7-12% in every regime (broadcast; forced shuffle with AQE
+      skew split on AND off). Turn it on only when a single gram's
+      occurrence count exceeds the per-task row budget
+      (~ total gram rows / shuffle partitions), i.e.
+      ``S ~ ceil(hot_count / target_task_rows)`` — the 10^12-doc
+      boilerplate case, where AQE's 256MB-per-partition split is the
+      first line and salt the deterministic guarantee.
     - only DUPLICATED occurrences (a small fraction of a crawl) reach
       the per-document interval-merge window, which shuffles on ``id``.
     - interval merge is SQL island detection, not a kernel: a position
