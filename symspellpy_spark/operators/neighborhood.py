@@ -30,6 +30,7 @@ index for a web-scale vocabulary.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -329,13 +330,35 @@ class FuzzyIndex:
         u = np.unique(pid_rep * np.int64(n_t) + ptid)
         upid = u // n_t
         uptid = u % n_t
-        bounds = np.searchsorted(upid, np.arange(len(u_pref) + 1))
-        sizes = bounds[pid_of + 1] - bounds[pid_of]
-        pair_pos = grouped_arange(bounds[pid_of], sizes)
-        pair_tid = uptid[pair_pos]
+        # fuse the |len(t) - len(q)| <= self.d filter INTO the fan-out:
+        # each prefix pool sorts by term length (one composite-key
+        # argsort keeps the array globally sorted), so a query's
+        # surviving candidates are ONE contiguous slice found by two
+        # vectorized searchsorteds — pairs outside the length band are
+        # never materialized. On the d=2 doc-substring workload the old
+        # shape fanned out ~4x the surviving pairs and immediately
+        # masked 3/4 of them away; this was the resolve stage's
+        # dominant np.repeat cost (profiled round 5)
+        span = np.int64(self.max_len + self.d + 2)
+        tl = self.tlens[uptid]
+        comp = upid * span + tl
+        order = np.argsort(comp, kind="stable")
+        comp = comp[order]
+        uptid = uptid[order]
+        qpid = pid_of * span
+        # clamp the length band to the pool's key range [0, span-1]: an
+        # over-long query (len > max_len + 1) would otherwise push its
+        # hi key past the pool boundary and slice into the NEXT pool,
+        # emitting wrong-pool (and potentially per-query duplicate)
+        # pairs; clamped, such queries get the empty slice they deserve
+        band_lo = np.minimum(np.maximum(qlens - self.d, 0), span - 1)
+        band_hi = np.minimum(qlens + self.d, span - 1)
+        lo = np.searchsorted(comp, qpid + band_lo)
+        hi = np.searchsorted(comp, qpid + band_hi, side="right")
+        sizes = hi - lo
         pair_qi = np.repeat(np.arange(len(qlist)), sizes)
-        keep = np.abs(self.tlens[pair_tid] - qlens[pair_qi]) <= self.d
-        return pair_qi[keep], pair_tid[keep]
+        pair_tid = uptid[grouped_arange(lo, sizes)]
+        return pair_qi, pair_tid
 
 
 def build_fuzzy_index(words: dict, d: int, p: int) -> FuzzyIndex:
@@ -427,6 +450,45 @@ def within_one(q: str, t: str, transpositions: bool) -> bool:
 
 _RESOLVER_CACHE_CAP = 4_000_000
 
+# chunk size for the deep-pair bag prefilter: 2M (pair x 27-bucket)
+# int16 rows per chunk keep the transient diff matrix ~100 MB
+_BAG_CHUNK = 2_000_000
+
+# A/B measurement hook (jobs/ab_bag_prefilter.py): the bag prefilter is
+# a pure prune of provably-non-matching pairs — results are identical
+# either way (test_top_resolver_matches_bruteforce) — so this toggle
+# exists only to measure the prefilter's payoff, never to change
+# semantics. Read at worker import time; local mode inherits the
+# launching process's environment.
+_BAG_PREFILTER = os.environ.get("SGRAFT_BAG_PREFILTER", "1") != "0"
+
+
+def char_bags(strings, cap: int) -> np.ndarray:
+    """(n, 27) int16 character-bag signatures: counts per bucket
+    a..z (0..25) + everything-else (26), over the first ``cap`` chars.
+
+    Feeds the deep-verify prefilter's edit-distance lower bound: every
+    unit edit changes the exact character bag by at most 2 (substitute:
+    one out + one in; insert/delete: 1; OSA transposition: 0), so
+    ``distance(q, t) >= sum|bag(q) - bag(t)| / 2``. Merging characters
+    into buckets only SHRINKS the L1 difference, so the bucketed bound
+    stays conservative — pruning ``sum > 2 * d`` can never drop a true
+    ``<= d`` match. One fixed-width UCS-4 encode (the distance kernel's
+    bulk-encode trick) + 27 vectorized count reductions; no per-row
+    Python.
+    """
+    n = len(strings)
+    cap = max(cap, 1)
+    if n == 0:
+        return np.zeros((0, 27), dtype=np.int16)
+    u = np.asarray(strings, dtype=f"U{cap}")
+    codes = u.view(np.int32).reshape(n, cap)
+    out = np.empty((n, 27), dtype=np.int16)
+    for b in range(26):
+        out[:, b] = (codes == 97 + b).sum(axis=1)
+    out[:, 26] = ((codes != 0) & ((codes < 97) | (codes > 122))).sum(axis=1)
+    return out
+
 
 class TopResolver:
     """Worker-side TOP lookup over a deserialized :class:`FuzzyIndex`.
@@ -458,6 +520,7 @@ class TopResolver:
         self.words = dict(zip(index.terms, index.counts.tolist()))
         self.cache: dict = {}
         self.ign = re.compile(f"^(?:{ign_pat})") if ign_pat is not None else None
+        self._term_bags: np.ndarray | None = None  # lazy: d>=2 only
 
     def prepare(self, queries) -> None:
         """Resolve every uncached query of ``queries`` into the cache."""
@@ -525,6 +588,26 @@ class TopResolver:
         mq = [qlist[i] for i in miss]
         mlens = qlens[np.asarray(miss, dtype=np.int64)]
         pair_mi, pair_tid = index.deep_pairs(mq, mlens)
+        if len(pair_mi) > 0 and _BAG_PREFILTER:
+            # character-bag lower-bound prefilter (see char_bags): on the
+            # d=2 segmentation workload it prunes ~59% of deep pairs
+            # before the DP kernel for ~5% of the kernel's cost. Term
+            # bags build once per worker (lazy — d<=1 never gets here);
+            # query bags are per-batch. Chunked so the (pairs x 27) diff
+            # stays ~100 MB.
+            if self._term_bags is None:
+                self._term_bags = char_bags(terms, index.max_len)
+            qb = char_bags(mq, int(mlens.max()) if len(mq) else 1)
+            tb = self._term_bags
+            bound = 2 * d
+            keep = np.empty(len(pair_mi), dtype=bool)
+            for s in range(0, len(pair_mi), _BAG_CHUNK):
+                e = min(s + _BAG_CHUNK, len(pair_mi))
+                diff = np.abs(
+                    qb[pair_mi[s:e]] - tb[pair_tid[s:e]]
+                ).sum(axis=1)
+                keep[s:e] = diff <= bound
+            pair_mi, pair_tid = pair_mi[keep], pair_tid[keep]
         if len(pair_mi) == 0:
             for qi in miss:
                 cache[qlist[qi]] = None

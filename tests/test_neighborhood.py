@@ -203,6 +203,10 @@ def test_candidates_match_dict_resolver(d, p):
     qlens = np.fromiter((len(q) for q in qs), dtype=np.int64, count=len(qs))
     uqi, utid, bounds = idx.d1_groups(qs, qlens)
     pair_qi, pair_tid = idx.deep_pairs(qs, qlens)
+    # the deep fan-out must stay deduped per query (the fused
+    # length-band slicing keeps each query's candidates a slice of a
+    # per-prefix UNIQUE pool)
+    assert len(pair_qi) == len(set(zip(pair_qi.tolist(), pair_tid.tolist())))
 
     for qi, q in enumerate(qs):
         want_d1 = {
@@ -275,3 +279,71 @@ def test_short_query_empty_key():
     got = {idx.terms[t] for t in pair_tid}
     # exactly the terms whose own neighborhood contains "" (len <= d)
     assert got == {"a", "ab", "zz"}
+
+
+def test_overlong_query_stays_in_pool():
+    # a query longer than max_len + 1 pushes its unclamped length-band
+    # hi key past its prefix pool's key range (span = max_len + d + 2);
+    # the clamp must keep the slice inside the pool: no wrong-pool
+    # terms, no per-query duplicates, and queries that CAN still match
+    # (len(q) <= max_len + d) keep their full candidate set
+    words = {"ab": 5, "abcde": 7, "zz": 3, "z": 1}
+    d, p = 2, 7
+    idx = build_fuzzy_index(words, d, p)  # max_len = 5
+    qs = [
+        "abcdefg",      # len 7 = max_len + d: abcde still reachable
+        "abcdefgh",     # len 8 > max_len + d: nothing can match
+        "abcdefghijk",  # far past every pool's band
+        "ab",
+    ]
+    qlens = np.fromiter((len(q) for q in qs), dtype=np.int64, count=len(qs))
+    pqi, ptid = idx.deep_pairs(qs, qlens)
+    assert len(pqi) == len(set(zip(pqi.tolist(), ptid.tolist())))
+    by_q = {}
+    for qi, tid in zip(pqi.tolist(), ptid.tolist()):
+        by_q.setdefault(qi, set()).add(idx.terms[tid])
+    assert "abcde" in by_q.get(0, set())
+    assert by_q.get(1, set()) == set()
+    assert by_q.get(2, set()) == set()
+    for qi, q in enumerate(qs):
+        for t in by_q.get(qi, ()):
+            assert abs(len(t) - len(q)) <= d, (q, t)
+
+
+@pytest.mark.parametrize("d", [1, 2])
+def test_top_resolver_matches_bruteforce(d):
+    """TopResolver end-to-end (d1 pass + bag-prefiltered deep verify)
+    vs a brute-force full-vocab DP with the reference TOP tie-break
+    (distance ASC, count DESC, term ASC). The character-bag prefilter
+    is a lower bound — this asserts it never drops a true <= d match
+    (uppercase/other chars included: they share the 'other' bucket,
+    which only loosens the bound)."""
+    from symspellpy_spark.functions.distance import (
+        _dp_single,
+        damerau_osa_batch,
+    )
+    from symspellpy_spark.operators.neighborhood import TopResolver
+
+    rng = random.Random(17)
+    words = _random_vocab(rng, 400, alphabet="abcdefgh")
+    # a couple of non-ASCII / non-letter terms exercise bucket 26
+    words["cafés"] = 123
+    words["x9ß1"] = 456
+    idx = build_fuzzy_index(words, d, p=4)
+    qs = _queries(rng, words, 250, alphabet="abcdefgh") + [
+        "café", "x9ß", "CAFE",
+    ]
+    res = TopResolver(idx, damerau_osa_batch, transpositions=True)
+    res.prepare(qs)
+    for q in qs:
+        best = None
+        for t, c in words.items():
+            if abs(len(t) - len(q)) > d:
+                continue
+            dist = _dp_single(q, t, True, d)
+            if dist <= d:
+                key = (dist, -c, t)
+                if best is None or key < best[0]:
+                    best = (key, (t, dist, c))
+        want = best[1] if best else None
+        assert res.get(q) == want, q
