@@ -30,23 +30,37 @@ counts are exact integers and each fraction is ONE IEEE division of two
 exact integers, so a DuckDB replay is bit-identical (the pattern the
 single-n ``gopher_repetition`` contract entry established).
 
-Shape (100 TB story): pure Catalyst — the n fan-out and the per-n gram
-explode are bounded by ``|ns| * doc_len`` rows per document, repetition
-is per-document so nothing ever self-joins, and every aggregation
-combines map-side. The duplicate-coverage pass joins gram occurrences
-back to the per-(doc, n, gram) counts on a key that INCLUDES the doc
-id, so — unlike a corpus-level gram join — its skew is bounded by
-document length, never by a gram's corpus ubiquity. Gram keys are
-strings here because the stats need exact distinct counts that an
-oracle can replay; a recall-tolerant variant can xxhash64 the gram
-before the shuffle exactly as ``duplicate_spans`` does.
+Shape (100 TB story): repetition is strictly PER-DOCUMENT, so the
+default execution is a doc-local Arrow kernel (``mapInPandas``) — one
+narrow pass over the corpus, zero exchanges, cost linear in
+``|ns| * doc_len`` per document and embarrassingly parallel across
+documents; a 1000-executor cluster sees no shuffle at all. The
+round-4 relational formulation (explode every gram occurrence STRING
+across all 9 ``n`` values, hash-aggregate, join coverage back) is
+retained as ``strategy="relational"`` because its Catalyst expressions
+evaluate ANY Java-regex ``token_re``; the kernel tokenizes with Python
+``re``, so ``strategy="auto"`` (the default) picks the kernel exactly
+when ``token_re`` is the default ``[a-z0-9]+`` — a pattern with
+identical semantics in Java, Python and DuckDB — and falls back to
+relational otherwise. Both strategies produce bit-identical rows
+(``tests/test_quality.py::test_kernel_matches_relational``): counts
+are exact integers, each fraction one IEEE division, and the top-gram
+tie-break (count, then char length, then codepoint order — Python str
+``<`` equals Spark's UTF8String binary order) is replicated exactly.
+Same-phase interleaved A/B on the composed corpus job's exact gopher
+stage (``jobs/ab_gopher_kernel.py`` -> ``BENCH_AB_GOPHER_r05.json``):
+relational 24.5 s vs kernel 1.0 s best-of — **24x** — with identical
+survivor counts in every cell.
 """
 
 from __future__ import annotations
 
+import re as _re
 from collections.abc import Sequence
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
 
 __all__ = ["gopher_ngram_stats", "gopher_quality_filter", "GOPHER_THRESHOLDS"]
 
@@ -60,12 +74,126 @@ GOPHER_THRESHOLDS: dict[str, dict[int, float]] = {
 }
 
 
+_STATS_FIELDS = [
+    ("n", T.IntegerType()),
+    ("n_grams", T.LongType()),
+    ("n_distinct", T.LongType()),
+    ("top_count", T.LongType()),
+    ("top_frac", T.DoubleType()),
+    ("dup_frac", T.DoubleType()),
+    ("doc_chars", T.LongType()),
+    ("top_char_frac", T.DoubleType()),
+    ("dup_char_frac", T.DoubleType()),
+]
+
+
+def _doc_ngram_rows(tokens: list, ns: Sequence[int]) -> list:
+    """Per-document repetition measures: one ``(n, n_grams, n_distinct,
+    top_count, top_clen, dup_chars, doc_chars)`` integer tuple per ``n``
+    the document can form at least one gram of.
+
+    Grams are keyed by tuples of interned token ids (exact — no hash
+    collisions can inflate ``n_distinct``); the top-gram tie-break
+    replicates the relational ``max(struct(count, char_len, gram))``
+    exactly (Python codepoint ``<`` on the joined gram equals Spark's
+    UTF8String binary order); duplicate coverage is the position union
+    of repeat occurrences (every occurrence after the first), summed
+    over token char lengths.
+    """
+    n_tok = len(tokens)
+    if n_tok == 0:
+        return []
+    lens = [len(t) for t in tokens]
+    doc_chars = sum(lens)
+    pref = [0]
+    for ln in lens:
+        pref.append(pref[-1] + ln)
+    ids: dict = {}
+    tid = [ids.setdefault(t, len(ids)) for t in tokens]
+    rows = []
+    for n in ns:
+        m = n_tok - n + 1
+        if m < 1:
+            continue
+        occs: dict = {}
+        for i, g in enumerate(zip(*(tid[k:] for k in range(n)))):
+            pos = occs.get(g)
+            if pos is None:
+                occs[g] = [i]
+            else:
+                pos.append(i)
+        n_distinct = len(occs)
+        top_c = max(len(p) for p in occs.values())
+        best_clen = -1
+        best_i = -1
+        for pos in occs.values():
+            if len(pos) != top_c:
+                continue
+            fi = pos[0]
+            clen = pref[fi + n] - pref[fi]
+            if clen > best_clen:
+                best_clen, best_i = clen, fi
+            elif clen == best_clen and " ".join(
+                tokens[fi : fi + n]
+            ) > " ".join(tokens[best_i : best_i + n]):
+                best_i = fi
+        dup_chars = 0
+        if n_distinct < m:
+            mask = bytearray(n_tok)
+            for pos in occs.values():
+                for i in pos[1:]:
+                    mask[i : i + n] = b"\x01" * n
+            dup_chars = sum(ln for j, ln in enumerate(lens) if mask[j])
+        rows.append((n, m, n_distinct, top_c, best_clen, dup_chars, doc_chars))
+    return rows
+
+
+def _kernel_frames(pdf: pd.DataFrame, ns: Sequence[int], rx) -> pd.DataFrame:
+    """One Arrow batch -> long-form stats rows (columns of _STATS_FIELDS
+    plus the leading passthrough id)."""
+    out: dict = {"id": []}
+    cols = [f for f, _ in _STATS_FIELDS]
+    for c in cols:
+        out[c] = []
+    for did, txt in zip(pdf["__id"], pdf["__text"]):
+        tokens = rx.findall(txt) if isinstance(txt, str) else []
+        for n, m, nd, tc, tclen, dch, doc_chars in _doc_ngram_rows(
+            tokens, ns
+        ):
+            out["id"].append(did)
+            out["n"].append(n)
+            out["n_grams"].append(m)
+            out["n_distinct"].append(nd)
+            out["top_count"].append(tc)
+            out["top_frac"].append(tc / m)
+            out["dup_frac"].append((m - nd) / m)
+            out["doc_chars"].append(doc_chars)
+            out["top_char_frac"].append(tc * tclen / doc_chars)
+            out["dup_char_frac"].append(dch / doc_chars)
+    return pd.DataFrame(out)
+
+
+def _pick_kernel(strategy: str, token_re: str) -> bool:
+    """auto -> kernel iff ``token_re`` is the default ``[a-z0-9]+``
+    (identical semantics in Java regex, Python ``re`` and DuckDB);
+    any other Java-regex pattern keeps the relational path, whose
+    Catalyst expressions evaluate it natively."""
+    if strategy == "auto":
+        return token_re == _DEFAULT_TOKEN_RE
+    if strategy in ("kernel", "relational"):
+        return strategy == "kernel"
+    raise ValueError(
+        f"strategy must be auto|kernel|relational, got {strategy!r}"
+    )
+
+
 def gopher_ngram_stats(
     docs: DataFrame,
     ns: Sequence[int] = (2, 3, 4, 5, 6, 7, 8, 9, 10),
     token_re: str = _DEFAULT_TOKEN_RE,
     id_col: str = "doc_id",
     text_col: str = "text",
+    strategy: str = "auto",
 ) -> DataFrame:
     """-> (id, n, n_grams, n_distinct, top_count, top_frac, dup_frac,
     doc_chars, top_char_frac, dup_char_frac): within-document n-gram
@@ -94,6 +222,25 @@ def gopher_ngram_stats(
     """
     if not ns or any(n < 1 for n in ns):
         raise ValueError(f"ns must be non-empty positive ints, got {ns!r}")
+    if _pick_kernel(strategy, token_re):
+        ns_t = tuple(int(n) for n in ns)
+        rx = _re.compile(token_re)
+        schema = T.StructType(
+            [T.StructField("id", docs.schema[id_col].dataType)]
+            + [T.StructField(f, t) for f, t in _STATS_FIELDS]
+        )
+        narrow = docs.select(
+            F.col(id_col).alias("__id"),
+            F.lower(F.col(text_col)).alias("__text"),
+        )
+
+        def gen(batches):
+            for pdf in batches:
+                frame = _kernel_frames(pdf, ns_t, rx)
+                if len(frame):
+                    yield frame
+
+        return narrow.mapInPandas(gen, schema)
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.regexp_extract_all(
@@ -199,6 +346,7 @@ def gopher_quality_filter(
     token_re: str = _DEFAULT_TOKEN_RE,
     id_col: str = "doc_id",
     text_col: str = "text",
+    strategy: str = "auto",
 ) -> DataFrame:
     """-> (id, keep): the repetition-filter verdict per document.
 
@@ -209,8 +357,10 @@ def gopher_quality_filter(
     strict-greater drop, applied to the character fractions the paper
     defines — see the module docstring for the whitespace-free
     accounting). Documents too short to form any configured n-gram have
-    nothing to repeat and are kept. One aggregation over the stats — no
-    second corpus scan.
+    nothing to repeat and are kept. Default (kernel) execution folds
+    the verdict into the stats' doc-local Arrow pass — one narrow scan,
+    zero exchanges, one output row per document; the relational path
+    reduces the long-form stats with one aggregation.
 
     Note: the published thresholds presume MassiveText's companion
     minimum-length gate (~50 words) runs first — on very short
@@ -222,11 +372,57 @@ def gopher_quality_filter(
     """
     th = thresholds or GOPHER_THRESHOLDS
     ns = sorted({*th.get("top_char_frac", {}), *th.get("dup_char_frac", {})})
-    stats = gopher_ngram_stats(
-        docs, ns=ns, token_re=token_re, id_col=id_col, text_col=text_col
-    )
     top_map = th.get("top_char_frac", {})
     dup_map = th.get("dup_char_frac", {})
+    if _pick_kernel(strategy, token_re):
+        # doc-local verdict: the kernel already sees every (doc, n) row
+        # contiguously, so the per-doc reduction folds into the same
+        # narrow pass — zero exchanges, one output row per input row,
+        # short/empty docs keep=True with no join-back needed
+        ns_t = tuple(int(n) for n in ns)
+        rx = _re.compile(token_re)
+        schema = T.StructType(
+            [
+                T.StructField("id", docs.schema[id_col].dataType),
+                T.StructField("keep", T.BooleanType()),
+            ]
+        )
+        narrow = docs.select(
+            F.col(id_col).alias("__id"),
+            F.lower(F.col(text_col)).alias("__text"),
+        )
+
+        def gen(batches):
+            for pdf in batches:
+                out_id, out_keep = [], []
+                for did, txt in zip(pdf["__id"], pdf["__text"]):
+                    tokens = rx.findall(txt) if isinstance(txt, str) else []
+                    keep = True
+                    for n, m, nd, tc, tclen, dch, doc_chars in (
+                        _doc_ngram_rows(tokens, ns_t)
+                    ):
+                        bar = top_map.get(n)
+                        if bar is not None and tc * tclen / doc_chars > bar:
+                            keep = False
+                            break
+                        bar = dup_map.get(n)
+                        if bar is not None and dch / doc_chars > bar:
+                            keep = False
+                            break
+                    out_id.append(did)
+                    out_keep.append(keep)
+                if out_id:
+                    yield pd.DataFrame({"id": out_id, "keep": out_keep})
+
+        return narrow.mapInPandas(gen, schema)
+    stats = gopher_ngram_stats(
+        docs,
+        ns=ns,
+        token_re=token_re,
+        id_col=id_col,
+        text_col=text_col,
+        strategy="relational",
+    )
     viol = F.lit(False)
     for n, t in sorted(top_map.items()):
         viol = viol | ((F.col("n") == n) & (F.col("top_char_frac") > t))

@@ -205,12 +205,84 @@ def test_stats_validation():
 
 
 def test_stats_plan_shape(spark):
-    """Repetition is per-document: every join in the plan is keyed by
-    the doc id (occurrence-to-hot and coverage joins), so nothing can
-    pair rows across documents — no cartesian/nested-loop anywhere."""
+    """Repetition is per-document. Relational path: every join in the
+    plan is keyed by the doc id (occurrence-to-hot and coverage joins),
+    so nothing can pair rows across documents — no cartesian/nested-loop
+    anywhere. Kernel path (the default): ONE doc-local Arrow pass —
+    zero exchanges, zero joins."""
     df = spark.createDataFrame(_DOCS, "doc_id long, text string")
     plan = (
-        gopher_ngram_stats(df)._jdf.queryExecution().executedPlan().toString()
+        gopher_ngram_stats(df, strategy="relational")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
     )
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+    for fn in (gopher_ngram_stats, gopher_quality_filter):
+        kplan = (
+            fn(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "MapInPandas" in kplan, kplan
+        assert "Exchange" not in kplan, kplan
+        assert "Join" not in kplan, kplan
+
+
+def _tie_and_edge_docs():
+    """Docs engineered at the tie-break and coverage edges: equal-count
+    gram ties resolved by char length then codepoint order, overlapping
+    repeat runs, null/empty/single-token docs, digits, and a doc whose
+    repeated gram spans the text end."""
+    return [
+        (1, "aa bb aa bb cc dd cc dd"),          # count ties everywhere
+        (2, "x y x y zz w zz w"),                # tie broken by char len
+        (3, "ab cd ab ce"),                      # tie broken by codepoint
+        (4, " ".join(["q"] * 25)),               # maximal overlap run
+        (5, None),                               # null text
+        (6, ""),                                 # empty text
+        (7, "solo"),                             # single token
+        (8, "r2 d2 r2 d2 c3 p0 9 9 9"),          # digits + short grams
+        (9, "Mixed CASE Mixed case MIXED case"),  # lowercasing parity
+        (10, " ".join(f"t{i % 13}" for i in range(160))),  # long cycle
+    ]
+
+
+def test_kernel_matches_relational(spark):
+    """The Arrow kernel and the relational formulation are the SAME
+    operator: bit-identical long-form rows (every count, every IEEE
+    fraction, the (count, char-len, codepoint) top tie-break) on a
+    corpus engineered around the tie/coverage/degenerate edges, and
+    identical filter verdicts — including a custom thresholds dict."""
+    ns = (2, 3, 5, 7)
+    df = spark.createDataFrame(
+        _tie_and_edge_docs(), "doc_id long, text string"
+    )
+    key = lambda r: (r["id"], r["n"])  # noqa: E731
+    k = {key(r): tuple(r) for r in
+         gopher_ngram_stats(df, ns=ns, strategy="kernel").collect()}
+    rel = {key(r): tuple(r) for r in
+           gopher_ngram_stats(df, ns=ns, strategy="relational").collect()}
+    assert k == rel
+    th = {"top_char_frac": {2: 0.3, 3: 0.5}, "dup_char_frac": {5: 0.2}}
+    for thresholds in (None, th):
+        kk = {r["id"]: r["keep"] for r in gopher_quality_filter(
+            df, thresholds=thresholds, strategy="kernel").collect()}
+        rk = {r["id"]: r["keep"] for r in gopher_quality_filter(
+            df, thresholds=thresholds, strategy="relational").collect()}
+        assert kk == rk and set(kk) == {d for d, _ in _tie_and_edge_docs()}
+
+
+def test_auto_strategy_gate(spark):
+    """auto uses the kernel only for the default token_re; any other
+    Java-regex pattern falls back to the relational path (Python re
+    must never see a pattern written for the JVM engine)."""
+    df = spark.createDataFrame([(1, "a b a b c")], "doc_id long, text string")
+    kplan = gopher_ngram_stats(
+        df)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in kplan
+    rplan = gopher_ngram_stats(
+        df, token_re=r"\p{L}+"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in rplan
+    with pytest.raises(ValueError):
+        gopher_ngram_stats(df, strategy="bogus")
