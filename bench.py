@@ -412,6 +412,66 @@ def main() -> None:
     timings.update(best)
 
     if not only_pipeline:
+        # --- dup-pair recall at bench scale (the north rule's primary
+        # criterion, BASELINE.json:2 "dup-pair recall >= 0.99"): the
+        # generator's truth pairs joined against the pipeline's cluster
+        # assignments, entirely relationally — no driver-side pair sets
+        # at 60k docs (the pytest acceptance pins the same number, plus
+        # a brute-force-Jaccard variant, at 600 docs where O(n^2) truth
+        # is computable; this entry evidences it at bench scale and per
+        # dup kind). Deterministic in (seed, n), so one measurement per
+        # bench run suffices; skipped under BENCH_ONLY=pipeline so the
+        # scaling sweeps stay pure-throughput.
+        from pyspark.sql import functions as F
+
+        from symspellpy_spark.plans.pipeline import DedupConfig, DedupPipeline
+        from symspellpy_spark.sources.pages import truth_pairs
+
+        t0 = time.perf_counter()
+        _cl = (
+            DedupPipeline(spark, DedupConfig())
+            .clusters(pages)
+            .select("url", "cluster_id")
+            .localCheckpoint(eager=True)
+        )
+        _truth = truth_pairs(pages)
+        _joined = (
+            _truth.join(
+                _cl.select(
+                    F.col("url").alias("url_a"), F.col("cluster_id").alias("cid_a")
+                ),
+                "url_a",
+                "left",
+            )
+            .join(
+                _cl.select(
+                    F.col("url").alias("url_b"), F.col("cluster_id").alias("cid_b")
+                ),
+                "url_b",
+                "left",
+            )
+            .withColumn(
+                "hit",
+                (F.col("cid_a").isNotNull() & (F.col("cid_a") == F.col("cid_b"))).cast(
+                    "int"
+                ),
+            )
+        )
+        by_kind = {
+            r["kind"]: (int(r["hits"]), int(r["total"]))
+            for r in _joined.groupBy("kind")
+            .agg(F.sum("hit").alias("hits"), F.count("*").alias("total"))
+            .collect()
+        }
+        hits = sum(h for h, _ in by_kind.values())
+        total = sum(t for _, t in by_kind.values())
+        timings["dup_pair_recall_sec"] = round(time.perf_counter() - t0, 3)
+        timings["dup_pair_truth_pairs"] = total
+        timings["dup_pair_recall"] = round(hits / total, 5) if total else None
+        timings["dup_pair_recall_by_kind"] = {
+            k: round(h / t, 5) for k, (h, t) in sorted(by_kind.items())
+        }
+        _cl.unpersist()
         # --- corpus-prep narrow ops over the full pages table: passage
         # chunking + PII scrub fused in one pass (both zero-exchange
         # projections; one count materializes both), URL dedup as its
@@ -667,6 +727,11 @@ def main() -> None:
         "corpus_job_full_docs",
         "corpus_job_full_docs_per_sec",
         "corpus_job_survivors",
+        # recall is a correctness figure, not a timing (its measurement
+        # cost IS counted, via dup_pair_recall_sec)
+        "dup_pair_recall",
+        "dup_pair_recall_by_kind",
+        "dup_pair_truth_pairs",
     )
     total = round(
         sum(
