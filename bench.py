@@ -12,7 +12,12 @@ Workloads:
   candidates -> exact-Jaccard verify -> connected components) over a
   deterministic synthesized Common-Crawl-style corpus sized by sf
   (the testdata documents table has a 31-word vocabulary — too small to
-  exercise signature stages), reporting docs/sec.
+  exercise signature stages), reporting docs/sec AND dup-pair recall
+  against the generator's planted truth pairs per dup kind (the north
+  rule's >=0.99 criterion, measured at bench scale every full run);
+- the composed corpus-assembly job end-to-end (corpus_job_full, with
+  --gopher and --dedup-spans stages on) plus per-stage seconds and
+  survivor counts.
 
 The pipeline corpus is written to parquet first (untimed) and read back
 as the pipeline input — the production shape (the engine's input is an
