@@ -38,7 +38,9 @@ N_SMALL = int(os.environ.get("SCALING_N", "4"))
 N_BIG = 4 * N_SMALL
 SIZES = [
     int(s)
-    for s in os.environ.get("SCALING_SIZES", "30000,120000,480000").split(",")
+    for s in os.environ.get(
+        "SCALING_SIZES", "30000,120000,480000,960000,1920000"
+    ).split(",")
 ]
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BENCH_REPS = os.environ.get("BENCH_REPS", "2")
