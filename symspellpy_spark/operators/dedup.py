@@ -228,13 +228,19 @@ def _sig_from_flat(
                     vals, starts, axis=1
                 )
         if want_simhash:
-            shb = np.zeros(d1 - d0, dtype=np.uint64)
             half = ne_lens[d0:d1].astype(np.float64) / 2.0
-            for bit in range(64):
-                ones = ((fb >> np.uint64(bit)) & np.uint64(1)).astype(np.int64)
-                shb |= (np.add.reduceat(ones, starts) > half).astype(
-                    np.uint64
-                ) << np.uint64(bit)
+            # all 64 bit columns in one unpack + one 2D reduceat (vs 64
+            # shift/mask/reduceat passes): fb is little-endian uint64, so
+            # byte-major little-bitorder unpack puts bit j of the value
+            # at column j; int32 holds any per-doc count (a single doc
+            # larger than _FLAT_BLOCK occupies a block alone)
+            bits = np.unpackbits(
+                fb.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            ).astype(np.int32)
+            sums = np.add.reduceat(bits, starts, axis=0)
+            shb = np.packbits(
+                sums > half[:, None], axis=1, bitorder="little"
+            ).reshape(d1 - d0, 8).view(np.uint64).ravel()
             sh_ne[d0:d1] = shb
         d0 = d1
     if want_minhash:
@@ -1017,6 +1023,7 @@ def lsh_candidate_pairs(
     bands_col: str | None = None,
     salted_bucket_cap: int | None = None,
     n_salt: int = 8,
+    dedupe: bool = True,
 ) -> DataFrame:
     """(id_a, id_b) candidate pairs from MinHash LSH banding.
 
@@ -1028,20 +1035,23 @@ def lsh_candidate_pairs(
     carries precomputed band hashes (see :func:`tokens_to_signatures`)
     — candidate generation then never touches the num_perm-wide
     minhash column.
+
+    ``dedupe=False`` skips the final distinct (its exchange + hash
+    aggregation) and may emit one row per shared band: for a consumer
+    that deduplicates pairs itself anyway (the pipeline's multi-source
+    candidate union ends in a groupBy on the pair key), the per-source
+    distinct is a redundant extra shuffle of the pair relation.
     """
     banded = _banded(signatures, bands, num_perm, bands_col=bands_col)
-    return (
-        _bucket_pairs(
-            banded,
-            ["band_id", "band_hash"],
-            "id",
-            max_bucket_size,
-            salted_cap=salted_bucket_cap,
-            n_salt=n_salt,
-        )
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    pairs = _bucket_pairs(
+        banded,
+        ["band_id", "band_hash"],
+        "id",
+        max_bucket_size,
+        salted_cap=salted_bucket_cap,
+        n_salt=n_salt,
+    ).select("id_a", "id_b")
+    return pairs.distinct() if dedupe else pairs
 
 
 def simhash_signatures(
@@ -1084,6 +1094,7 @@ def simhash_candidate_pairs(
     max_bucket_size: int = 1000,
     salted_bucket_cap: int | None = None,
     n_salt: int = 8,
+    dedupe: bool = True,
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with Hamming(simhash) <= max_hamming.
 
@@ -1091,6 +1102,11 @@ def simhash_candidate_pairs(
     blocks; any pair within the Hamming ball shares at least one intact
     block -> equi-join on (block_id, block_value), verify with
     bit_count(xor) — all whole-stage codegen.
+
+    ``dedupe=False`` skips the final distinct (pairs sharing several
+    intact blocks then appear once per such block) — for consumers that
+    deduplicate pairs downstream anyway (see
+    :func:`lsh_candidate_pairs`).
     """
     if n_blocks is None:
         n_blocks = max_hamming + 1
@@ -1117,17 +1133,14 @@ def simhash_candidate_pairs(
         salted_cap=salted_bucket_cap,
         n_salt=n_salt,
     )
-    return (
-        pairs.select(
-            F.col("id_a.id").alias("id_a"),
-            F.col("id_b.id").alias("id_b"),
-            F.bit_count(
-                F.col("id_a.simhash").bitwiseXOR(F.col("id_b.simhash"))
-            ).alias("hamming"),
-        )
-        .where(F.col("hamming") <= max_hamming)
-        .distinct()
-    )
+    verified = pairs.select(
+        F.col("id_a.id").alias("id_a"),
+        F.col("id_b.id").alias("id_b"),
+        F.bit_count(
+            F.col("id_a.simhash").bitwiseXOR(F.col("id_b.simhash"))
+        ).alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)
+    return verified.distinct() if dedupe else verified
 
 
 def _pow_u64(base: int, exp: np.ndarray) -> np.ndarray:
@@ -1352,6 +1365,7 @@ def substring_pairs_from_grams(
     max_bucket_size: int = 1000,
     salted_bucket_cap: int | None = None,
     n_salt: int = 8,
+    count_shared: bool = True,
 ) -> DataFrame:
     """(id_a, id_b, shared_grams) from precomputed sampled gram hashes
     (``text_to_signatures(substring_gram_len=...)``): the substring
@@ -1359,21 +1373,27 @@ def substring_pairs_from_grams(
     second text scan or Python stage — explode + capped bucket join
     only. Docs shorter than gram_len carry an empty list and drop out
     at the explode, mirroring the standalone operator's length filter.
+
+    ``count_shared=False`` skips the pair aggregation (one exchange +
+    hash agg) and emits (id_a, id_b) once per shared gram — for
+    consumers that discard ``shared_grams`` and deduplicate pairs
+    downstream anyway (see :func:`lsh_candidate_pairs`).
     """
     grams = sig.select(
         F.col(id_col).alias("id"), F.explode(F.col(grams_col)).alias("g")
     )
-    return (
-        _bucket_pairs(
-            grams,
-            ["g"],
-            "id",
-            max_bucket_size,
-            salted_cap=salted_bucket_cap,
-            n_salt=n_salt,
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("shared_grams"))
+    pairs = _bucket_pairs(
+        grams,
+        ["g"],
+        "id",
+        max_bucket_size,
+        salted_cap=salted_bucket_cap,
+        n_salt=n_salt,
+    )
+    if not count_shared:
+        return pairs
+    return pairs.groupBy("id_a", "id_b").agg(
+        F.count("*").alias("shared_grams")
     )
 
 
@@ -1673,6 +1693,7 @@ def winnowing_candidate_pairs(
     max_bucket_size: int = 1000,
     salted_bucket_cap: int | None = None,
     n_salt: int = 8,
+    count_shared: bool = True,
 ) -> DataFrame:
     """(id_a, id_b, shared_fingerprints) — documents sharing winnowing
     fingerprints: the local-match candidate sweep (any shared substring
@@ -1682,21 +1703,27 @@ def winnowing_candidate_pairs(
     matches) with partial/local overlap detection. Same scale shape as
     the other sweeps: equi-join on the fingerprint bucket, capped at
     ``max_bucket_size`` (a fingerprint shared by half the web —
-    boilerplate — is evidence of nothing and would otherwise square)."""
+    boilerplate — is evidence of nothing and would otherwise square).
+
+    ``count_shared=False`` skips the pair aggregation and emits
+    (id_a, id_b) once per shared fingerprint — for consumers that
+    discard the count and deduplicate pairs downstream anyway (see
+    :func:`lsh_candidate_pairs`)."""
     fps = winnowing_fingerprints(
         docs, k=k, window=window, id_col=id_col, text_col=text_col
     ).select("id", "fingerprint").distinct()
-    return (
-        _bucket_pairs(
-            fps,
-            ["fingerprint"],
-            "id",
-            max_bucket_size,
-            salted_cap=salted_bucket_cap,
-            n_salt=n_salt,
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("shared_fingerprints"))
+    pairs = _bucket_pairs(
+        fps,
+        ["fingerprint"],
+        "id",
+        max_bucket_size,
+        salted_cap=salted_bucket_cap,
+        n_salt=n_salt,
+    )
+    if not count_shared:
+        return pairs
+    return pairs.groupBy("id_a", "id_b").agg(
+        F.count("*").alias("shared_fingerprints")
     )
 
 
@@ -1881,6 +1908,21 @@ def ngram_contamination(
     )
 
 
+def _jaccard_expr() -> "F.Column":
+    """|A∩B| / (|A| + |B| - |A∩B|) over the joined ``_ha``/``_hb`` arrays.
+
+    Exactly |A∩B| / |A∪B| for the DISTINCT arrays this operator is
+    contractually fed (shingle/gram sets are emitted sorted-unique), but
+    builds ONE per-row hash set instead of two — ``array_union`` costs
+    the same set machinery as ``array_intersect`` and its size is fully
+    determined by the intersection size. Same integer operands, same
+    single IEEE division, so the value is bit-identical to the
+    array_union formulation.
+    """
+    inter = F.size(F.array_intersect("_ha", "_hb"))
+    return inter / (F.size("_ha") + F.size("_hb") - inter)
+
+
 def jaccard_verify(
     pairs: DataFrame,
     signatures: DataFrame,
@@ -1955,11 +1997,7 @@ def jaccard_verify(
             "id_b",
         )
         return (
-            joined.withColumn(
-                "jaccard",
-                F.size(F.array_intersect("_ha", "_hb"))
-                / F.size(F.array_union("_ha", "_hb")),
-            )
+            joined.withColumn("jaccard", _jaccard_expr())
             .drop("_ha", "_hb")
             .where(F.col("jaccard") >= threshold)
         )
@@ -1989,11 +2027,7 @@ def jaccard_verify(
             >= F.lit(threshold - minhash_prefilter_margin)
         ).drop("_ma", "_mb")
     return (
-        joined.withColumn(
-            "jaccard",
-            F.size(F.array_intersect("_ha", "_hb"))
-            / F.size(F.array_union("_ha", "_hb")),
-        )
+        joined.withColumn("jaccard", _jaccard_expr())
         .drop("_ha", "_hb")
         .where(F.col("jaccard") >= threshold)
     )

@@ -401,6 +401,13 @@ class DedupPipeline:
         sig = self.signatures(pages)
         narrow = self._signatures_narrow(pages)
         pages64 = self._pages64(pages)
+        # per-source dedup is skipped (dedupe/count_shared False): the
+        # union below ends in a groupBy on the pair key, which is the
+        # ONE deduplicating exchange — each source's own distinct would
+        # re-shuffle its pair relation just to collapse rows the final
+        # aggregation collapses anyway (guide §2.4: remove shuffles
+        # outright; the map-side partial collect_set bounds what the
+        # extra duplicate rows add to the surviving exchange)
         lsh = lsh_candidate_pairs(
             narrow,
             bands=c.bands,
@@ -409,6 +416,7 @@ class DedupPipeline:
             bands_col="bands",
             salted_bucket_cap=c.salted_bucket_cap,
             n_salt=c.n_salt,
+            dedupe=False,
         ).select("id_a", "id_b", F.lit(SRC_LSH).alias("source"))
         sim = simhash_candidate_pairs(
             narrow,
@@ -416,6 +424,7 @@ class DedupPipeline:
             max_bucket_size=c.max_bucket_size,
             salted_bucket_cap=c.salted_bucket_cap,
             n_salt=c.n_salt,
+            dedupe=False,
         ).select("id_a", "id_b", F.lit(SRC_SIMHASH).alias("source"))
         if "sub_grams" in sig.columns:
             # fused sources: substring grams + text hash were computed
@@ -427,6 +436,7 @@ class DedupPipeline:
                 max_bucket_size=c.max_bucket_size,
                 salted_bucket_cap=c.salted_bucket_cap,
                 n_salt=c.n_salt,
+                count_shared=False,
             ).select("id_a", "id_b", F.lit(SRC_SUBSTRING).alias("source"))
             exact = (
                 exact_duplicates_from_hash(sig)
@@ -466,6 +476,7 @@ class DedupPipeline:
                 max_bucket_size=c.max_bucket_size,
                 salted_bucket_cap=c.salted_bucket_cap,
                 n_salt=c.n_salt,
+                count_shared=False,
             ).select("id_a", "id_b", F.lit(SRC_WINNOW).alias("source"))
             pairs = pairs.unionByName(win)
         # candidate rows are narrow; AQE would coalesce this exchange to
@@ -535,6 +546,12 @@ class DedupPipeline:
         # (plain equi-join: AQE broadcasts the small side locally; at
         # 10^12 docs this is a shuffle join and correctly so)
         cl = cl.join(self._id_map(pages), "id").select("url", "cluster_id")
+        # the output is narrow (url, cluster_id) but NOT a memoized
+        # stage: without a checkpoint every consumer — the metric pass
+        # below, a caller's count, survivors() — re-executes the
+        # url-map join and the label scan once each
+        if self.checkpoint_dir is None:
+            cl = cl.localCheckpoint(eager=False)
         self._metric_count("clusters", cl)
         return cl
 
