@@ -105,6 +105,7 @@ def run_corpus_stages(
     """
     metrics: dict = {"docs": pages.count()}
     stage_sec: dict = {}
+    para = spark.sparkContext.defaultParallelism
     # every stage's survivor relation is MATERIALIZED (eager
     # localCheckpoint) before the next stage reads it: each stage both
     # consumes the previous relation and semi-joins back against it, so
@@ -120,6 +121,19 @@ def run_corpus_stages(
     def _staged(name: str, fn):
         t0 = time.perf_counter()
         out = fn().localCheckpoint(eager=True)
+        # AQE sizes post-join partitioning by BYTES, so a heavily
+        # filtered survivor checkpoint coalesces to a handful of
+        # partitions — and every downstream stage's narrow pre-shuffle
+        # work (tokenize, gram explode, the gopher Arrow kernel)
+        # inherits that parallelism (measured: stages ran on 4 of 32
+        # cores). Re-spread small checkpoints; the guard fires exactly
+        # when the relation is small (that is WHY it has few
+        # partitions), so the extra shuffle is cheap at any scale and a
+        # no-op on corpus-sized relations.
+        if out.rdd.getNumPartitions() < para:
+            spread = out.repartition(para, "url").localCheckpoint(eager=True)
+            out.unpersist(False)
+            out = spread
         metrics[f"after_{name}"] = out.count()
         stage_sec[name] = round(time.perf_counter() - t0, 3)
         if _prev[0] is not None:
@@ -127,14 +141,22 @@ def run_corpus_stages(
         _prev[0] = out
         return out
 
+    # every stage DECIDES from (url, text, lang) only — the rest of the
+    # page row (html is usually the widest column) is projected out of
+    # the whole stage chain and re-attached once at finalize, so the
+    # per-stage checkpoints and semi-joins never carry payload bytes no
+    # stage reads (guide §2.3: shuffle keys and metadata, not payloads)
+    work = pages.select("url", "text", "lang")
+    bench = bench.select("url", "text")
+
     # 0. canonical-URL dedup — the cheapest pass runs first (one hash
     # aggregation; removes re-fetch/tracking variants before any
     # content hashing); survivor = min url per canonical URL
     def _url():
-        url_surv = url_dedup(pages, url_col="url", id_col="url").select(
+        url_surv = url_dedup(work, url_col="url", id_col="url").select(
             F.col("survivor_id").alias("url")
         )
-        return pages.join(url_surv, "url", "left_semi")
+        return work.join(url_surv, "url", "left_semi")
 
     surv = _staged("url_dedup", _url)
 
@@ -219,10 +241,16 @@ def run_corpus_stages(
     if scrub_pii:
         surv = pii_scrub(surv, id_col="url", keep_all=True)
 
-    # the final checkpoint executes whatever tail stages stayed lazy
-    # (mix when spans are off, pii), so "finalize" prices them together
-    # with the output-side materialization
-    corpus = _staged("finalize", lambda: surv)
+    # finalize re-attaches the full page row (html etc.) to the
+    # surviving narrow relation — the one join that touches payload
+    # bytes — and executes whatever tail stages stayed lazy (mix when
+    # spans are off, pii), so "finalize" prices them together with the
+    # output-side materialization
+    def _final():
+        rest = pages.drop("text", "lang")
+        return rest.join(surv, "url")
+
+    corpus = _staged("finalize", _final)
     metrics["corpus"] = metrics.pop("after_finalize")
     if dedup_spans:
         metrics["span_tokens_removed"] = int(
