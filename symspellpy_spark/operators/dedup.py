@@ -1567,6 +1567,7 @@ def winnowing_fingerprints(
     text_col: str = "text",
     hash_family: str = "xxhash64",
     strategy: str = "auto",
+    positions: bool = True,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD'03 — the MOSS scheme): hash every char ``k``-gram, slide a
@@ -1602,7 +1603,9 @@ def winnowing_fingerprints(
     Catalyst window formulation; equivalence is pinned by tests.
     """
     if hash_family == "xxhash64" and strategy != "relational" and k < 32:
-        return _winnowing_kernel(docs, k, window, id_col, text_col)
+        return _winnowing_kernel(
+            docs, k, window, id_col, text_col, positions=positions
+        )
     from pyspark.sql import Window as W
 
     d = docs.select(
@@ -1632,15 +1635,23 @@ def winnowing_fingerprints(
         .withColumn("m", F.max("p").over(n_grams))
         .where(F.col("p") <= F.col("m") - (window - 1))
     )
-    return chosen.select(
+    out = chosen.select(
         "id",
         (-F.col("wmin.np")).alias("pos"),
         F.col("wmin.h").alias("fingerprint"),
     ).distinct()
+    if positions:
+        return out
+    return out.select("id", "fingerprint").distinct()
 
 
 def _winnowing_kernel(
-    docs: DataFrame, k: int, window: int, id_col: str, text_col: str
+    docs: DataFrame,
+    k: int,
+    window: int,
+    id_col: str,
+    text_col: str,
+    positions: bool = True,
 ) -> DataFrame:
     min_len = k + window - 1
 
@@ -1663,25 +1674,31 @@ def _winnowing_kernel(
                         dtype=np.uint64,
                     )
                 pos0, fp = _winnow_select(h, window)
-                out_id.append(np.full(pos0.size, rid))
-                out_pos.append(pos0 + 1)  # 1-based, as substring positions
+                if not positions:
+                    # fingerprint-set consumers: dedupe per doc in the
+                    # kernel (fp selections are sorted by _winnow_select's
+                    # np.unique on (pos, h), so unique needs no re-sort
+                    # guarantee) — the (id, fingerprint) relation then
+                    # needs NO distinct exchange downstream
+                    fp = np.unique(fp)
+                    pos0 = fp  # unused placeholder, same length
+                out_id.append(np.full(fp.size, rid))
+                if positions:
+                    out_pos.append(pos0 + 1)  # 1-based substring positions
                 out_fp.append(fp)
-            if out_id:
-                yield pd.DataFrame(
-                    {
-                        "id": np.concatenate(out_id),
-                        "pos": np.concatenate(out_pos).astype(np.int32),
-                        "fingerprint": np.concatenate(out_fp),
-                    }
+            cols = {"id": np.concatenate(out_id) if out_id else pd.Series([], dtype=object)}
+            if positions:
+                cols["pos"] = (
+                    np.concatenate(out_pos).astype(np.int32)
+                    if out_id
+                    else pd.Series([], dtype=np.int32)
                 )
-            else:
-                yield pd.DataFrame(
-                    {
-                        "id": pd.Series([], dtype=object),
-                        "pos": pd.Series([], dtype=np.int32),
-                        "fingerprint": pd.Series([], dtype=np.int64),
-                    }
-                )
+            cols["fingerprint"] = (
+                np.concatenate(out_fp)
+                if out_id
+                else pd.Series([], dtype=np.int64)
+            )
+            yield pd.DataFrame(cols)
 
     id_type = (
         docs.select(F.col(id_col).alias("id")).schema[0].dataType.simpleString()
@@ -1692,9 +1709,12 @@ def _winnowing_kernel(
     para = docs.sparkSession.sparkContext.defaultParallelism
     if src_rel.rdd.getNumPartitions() < para:
         src_rel = src_rel.repartition(para * 2)
-    return src_rel.mapInPandas(
-        run, schema=f"id {id_type}, pos int, fingerprint long"
+    schema = (
+        f"id {id_type}, pos int, fingerprint long"
+        if positions
+        else f"id {id_type}, fingerprint long"
     )
+    return src_rel.mapInPandas(run, schema=schema)
 
 
 def winnowing_candidate_pairs(
@@ -1722,9 +1742,13 @@ def winnowing_candidate_pairs(
     (id_a, id_b) once per shared fingerprint — for consumers that
     discard the count and deduplicate pairs downstream anyway (see
     :func:`lsh_candidate_pairs`)."""
+    # positions=False: the kernel dedups fingerprints per doc, so the
+    # (id, fingerprint) relation is distinct by construction and the
+    # distinct exchange this select used to need disappears
     fps = winnowing_fingerprints(
-        docs, k=k, window=window, id_col=id_col, text_col=text_col
-    ).select("id", "fingerprint").distinct()
+        docs, k=k, window=window, id_col=id_col, text_col=text_col,
+        positions=False,
+    )
     pairs = _bucket_pairs(
         fps,
         ["fingerprint"],

@@ -422,10 +422,11 @@ def run_incremental_winnowing(
         w = Window.partitionBy("fingerprint")
         fps = (
             winnowing_fingerprints(
-                batch_df, k=k, window=window, id_col=id_col, text_col=text_col
+                batch_df, k=k, window=window, id_col=id_col,
+                text_col=text_col, positions=False,
             )
-            .select("id", "fingerprint")
-            .distinct()
+            # positions=False dedups (id, fingerprint) inside the kernel,
+            # so no distinct exchange is needed before the bucket cap
             .withColumn("_bs", F.count("*").over(w))
             .where(F.col("_bs") <= max_bucket_size)
             .drop("_bs")
