@@ -42,6 +42,19 @@ def get_spark(
         # (e.g. signature arrays) on wide-core workers; 16MB keeps
         # AQE-coalesced stages at >= cores tasks without tiny-task spam
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        # prefer shuffled-hash over sort-merge when the per-partition
+        # build side fits (guide §3.1): skips both sort passes on the
+        # verify/semi-join paths. Deliberate sort-merge sites
+        # (_bucket_pairs' self-join, whose identical sorted children
+        # make SMJ exchange-and-sort-free) carry explicit merge hints
+        # and are unaffected. The 64m AQE threshold is per post-shuffle
+        # partition — bounded by the advisory size above at any scale,
+        # so the build-side-OOM risk SMJ-by-default guards against does
+        # not apply
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m"
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
