@@ -1659,17 +1659,22 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER matters: the driver's correctness gate checks a
-    # bounded window from the FRONT of this dict (50 entries in r4).
+    # bounded window from the FRONT of this dict (50 entries in r4/r5).
     # Entries that missed a driver window are rotated to the front the
     # following round so every entry holds a driver-green row within any
-    # two consecutive rounds (VERDICT_r04 "Next round #1").  The 7
-    # entries below fell out of the r4 window; they lead in round 5.
+    # two consecutive rounds (VERDICT_r04 "Next round #1").  Round 6:
+    # the 7 entries absent from CORRECTNESS_r05.json lead, and — per
+    # VERDICT_r05 "Next #1" — every entry whose operator files changed
+    # this round sits inside the 50-entry window; the 7 tail entries are
+    # untouched-this-round, r5-driver-green pure-Catalyst queries.
     return {
-        "props_extract": q_props_extract,
-        "revenue_rollup": q_revenue_rollup,
-        "lang_term_overlap": q_lang_term_overlap,
-        "lm_bigram_coverage": q_lm_bigram_coverage,
-        "token_count": q_token_count,
+        "word_segmentation": q_word_segmentation,
+        "word_segmentation_fuzzy": q_word_segmentation_fuzzy,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
+        "bigram_build": q_bigram_build,
+        "acronym_tokens": q_acronym_tokens,
+        "lookup_similarity": q_lookup_similarity,
+        "delete_entry_maintenance": q_delete_entry_maintenance,
         "doc_fingerprints": q_doc_fingerprints,
         "shingle_count": q_shingle_count,
         "vocab_build": q_vocab_build,
@@ -1699,8 +1704,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "corpus_survivors": q_corpus_survivors,
         "pii_scrub": q_pii_scrub,
-        "text_quality": q_text_quality,
-        "langid": q_langid,
         "sessionize": q_sessionize,
         "tpch_q1": q_tpch_q1,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1715,13 +1718,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_exact_dedup": q_streaming_exact_dedup,
         "compound_correct": q_compound_correct,
         "compound_noisy": q_compound_noisy,
-        "word_segmentation": q_word_segmentation,
-        "word_segmentation_fuzzy": q_word_segmentation_fuzzy,
-        "embedding_dup_pairs": q_embedding_dup_pairs,
-        "bigram_build": q_bigram_build,
-        "acronym_tokens": q_acronym_tokens,
-        "lookup_similarity": q_lookup_similarity,
-        "delete_entry_maintenance": q_delete_entry_maintenance,
+        "props_extract": q_props_extract,
+        "revenue_rollup": q_revenue_rollup,
+        "lang_term_overlap": q_lang_term_overlap,
+        "lm_bigram_coverage": q_lm_bigram_coverage,
+        "token_count": q_token_count,
+        "text_quality": q_text_quality,
+        "langid": q_langid,
     }
 
 
