@@ -11,6 +11,12 @@ specific measurable signature: efficiency RISES with corpus size,
 because the fixed floors amortize while per-core work grows. This
 harness measures that curve instead of narrating it.
 
+NOTE on default runtime: SCALING_SIZES includes the 960k- and
+1.92M-doc levels, so a full default sweep takes well over 30 minutes
+(the 1.92M level alone runs ~510 s at local[4] plus ~300 s at
+local[16] per repetition); pass a smaller SCALING_SIZES env for quick
+iteration.
+
 Protocol (same discipline as scaling_bench.py):
 - for each size in SIZE_SWEEP, run the IDENTICAL pipeline-only bench
   (`BENCH_ONLY=pipeline`) at local[N] and local[4N], fresh JVMs,
