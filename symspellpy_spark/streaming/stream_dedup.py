@@ -322,6 +322,15 @@ def run_incremental_lsh(
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         sess = batch_df.sparkSession
+        # a micro-batch arrives partitioned by its source files (often a
+        # handful), and the signature stage inherits that — the whole
+        # tokenize/shingle/minhash pass then runs on a few cores. The
+        # batch is small by construction, so the re-spread shuffle is
+        # cheap wherever the guard fires (same treatment as the batch
+        # kernels' under-parallelism guards)
+        para = sess.sparkContext.defaultParallelism
+        if batch_df.rdd.getNumPartitions() < para:
+            batch_df = batch_df.repartition(para)
         if signatures_fn is not None:
             sig = signatures_fn(batch_df)
         else:
